@@ -1,0 +1,70 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults encode the production posture (AQE on, skew-join handling,
+Arrow-batched pandas UDFs); tests/bench override parallelism via
+``master`` / env vars. On a real cluster the same builder is used by
+``spark-submit --py-files`` (no local[] master is forced unless asked).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Repo root containing the agraph_spark package. Python workers do NOT
+# inherit the driver's sys.path, so the package must reach executors via
+# PYTHONPATH (local mode) or spark-submit --py-files (cluster mode).
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _export_pythonpath() -> None:
+    pp = os.environ.get("PYTHONPATH", "")
+    if _PKG_ROOT not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = _PKG_ROOT + (os.pathsep + pp if pp else "")
+
+
+def get_spark(
+    app_name: str = "agraph_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with AQE + Arrow tuned for the KG pipeline.
+
+    - AQE enabled with skew-join splitting: hot entities / long conversations
+      create skewed shuffle partitions; AQE splits them at runtime.
+    - Arrow enabled: all Python-side kernels are pandas-vectorized
+      (``mapInPandas``); one kernel invocation per Arrow record batch.
+    - ``spark.sql.shuffle.partitions`` sized to local core count by default;
+      on a cluster this should be ~2-3x total cores (set via extra_conf).
+    """
+    _export_pythonpath()
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER") and SparkSession.getActiveSession() is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        builder = builder.master(f"local[{cpus}]")
+
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    conf = {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # unit of model/regex kernel invocation = one Arrow batch
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "8g"),
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.ui.enabled": "false",
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
