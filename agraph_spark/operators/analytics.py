@@ -1,0 +1,126 @@
+"""Graph analytics over (nodes, edges) DataFrames (SURVEY.md §2.7).
+
+Spark restatement of the reference's dict-scan analytics
+(/root/reference/agraph/services/graph_analyzer.py): every op is a
+groupBy/join/agg plan — degree counting is the canonical hot-key-skew
+aggregation (partial map-side agg handles it; AQE splits stragglers).
+
+Conventions: nodes(entity_id, name, entity_type, ...),
+edges(head_id, tail_id, pred, confidence). Directed. A self-loop adds 2 to
+total degree, matching graph_analyzer.py:138-171.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def degree_per_node(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """A3: per-node (in_degree, out_degree, degree); nodes without edges
+    appear with zeros (graph_analyzer.py:138-171)."""
+    out_d = edges.groupBy(F.col("head_id").alias("entity_id")).agg(
+        F.count("*").alias("out_degree")
+    )
+    in_d = edges.groupBy(F.col("tail_id").alias("entity_id")).agg(
+        F.count("*").alias("in_degree")
+    )
+    return (
+        nodes.select("entity_id")
+        .join(out_d, "entity_id", "left")
+        .join(in_d, "entity_id", "left")
+        .na.fill(0, ["out_degree", "in_degree"])
+        .withColumn("degree", F.col("in_degree") + F.col("out_degree"))
+    )
+
+
+def degree_summary(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """A3 aggregate: avg/max/min total degree + avg in/out."""
+    d = degree_per_node(nodes, edges)
+    return d.agg(
+        F.round(F.avg("degree"), 6).alias("average_degree"),
+        F.max("degree").alias("max_degree"),
+        F.min("degree").alias("min_degree"),
+        F.round(F.avg("in_degree"), 6).alias("average_in_degree"),
+        F.round(F.avg("out_degree"), 6).alias("average_out_degree"),
+    )
+
+
+def type_distribution(nodes: DataFrame) -> DataFrame:
+    """A2: counts per entity_type (graph_analyzer.py:87-121)."""
+    return nodes.groupBy("entity_type").agg(F.count("*").alias("cnt"))
+
+
+def relation_type_distribution(edges: DataFrame) -> DataFrame:
+    return edges.groupBy("pred").agg(F.count("*").alias("cnt"))
+
+
+def isolated_nodes(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """A5: entities with zero incident relations (graph_analyzer.py:206-223):
+    left-anti join against distinct endpoint ids."""
+    touched = (
+        edges.select(F.col("head_id").alias("entity_id"))
+        .unionByName(edges.select(F.col("tail_id").alias("entity_id")))
+        .distinct()
+    )
+    return nodes.join(touched, "entity_id", "left_anti")
+
+
+def density(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """A6: relations / (n*(n-1)), directed; 0 when n <= 1
+    (graph_analyzer.py:225-243)."""
+    n = nodes.agg(F.count("*").alias("n"))
+    e = edges.agg(F.count("*").alias("e"))
+    return n.crossJoin(e).select(
+        F.when(F.col("n") <= 1, F.lit(0.0))
+        .otherwise(F.round(F.col("e") / (F.col("n") * (F.col("n") - 1)), 9))
+        .alias("density")
+    )
+
+
+def importance_scores(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """A7: degree-centrality degree/(n-1) per entity
+    (graph_analyzer.py:245-267)."""
+    d = degree_per_node(nodes, edges)
+    n = nodes.agg(F.count("*").alias("n"))
+    return d.crossJoin(n).select(
+        "entity_id",
+        F.when(F.col("n") <= 1, F.lit(0.0))
+        .otherwise(F.round(F.col("degree") / (F.col("n") - 1), 9))
+        .alias("importance"),
+    )
+
+
+def top_central(nodes: DataFrame, edges: DataFrame, k: int = 5) -> DataFrame:
+    """A8: top-k nodes by degree (utils.py:236-259); entity_id tiebreak for
+    determinism."""
+    return (
+        degree_per_node(nodes, edges)
+        .orderBy(F.desc("degree"), F.asc("entity_id"))
+        .limit(k)
+    )
+
+
+def k_hop_neighbors(edges: DataFrame, start_id: str, k: int = 2, undirected: bool = True) -> DataFrame:
+    """A12: hop-labelled neighborhood of one node via k bounded expansion
+    joins with a visited anti-join (knowledge_retriever.py:611-665)."""
+    spark = edges.sparkSession
+    adj = edges.select(F.col("head_id").alias("src"), F.col("tail_id").alias("dst"))
+    if undirected:
+        adj = adj.unionByName(
+            edges.select(F.col("tail_id").alias("src"), F.col("head_id").alias("dst"))
+        )
+    adj = adj.distinct()
+    frontier = spark.createDataFrame([(start_id, 0)], "entity_id string, hop int")
+    visited = frontier
+    for hop in range(1, k + 1):
+        nxt = (
+            adj.join(frontier.withColumnRenamed("entity_id", "src").drop("hop"), "src")
+            .select(F.col("dst").alias("entity_id"))
+            .distinct()
+            .join(visited.select("entity_id"), "entity_id", "left_anti")
+            .withColumn("hop", F.lit(hop))
+        )
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited.where(F.col("hop") > 0)

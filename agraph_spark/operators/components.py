@@ -1,0 +1,161 @@
+"""Iterative connected components + BFS shortest paths (SURVEY.md D5/A4/A9).
+
+The reference does DFS/union-find over in-memory dicts
+(/root/reference/agraph/services/graph_analyzer.py:173-204,
+agraph/builders/llm_builders.py:513-551). Here: driver-controlled loops of
+joins with ``localCheckpoint`` per iteration to cut lineage.
+
+``connected_components`` uses hash-min label propagation accelerated with
+pointer jumping (labels chase their own component's label each round), so
+convergence is O(log(diameter)) rounds rather than O(diameter). For the
+canonicalization workload (co-reference edge lists) components are
+small-diameter chains/cliques, so 3-5 rounds typically suffice at any scale;
+each round is two shuffles on the node id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    src: str = "head_id",
+    dst: str = "tail_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Undirected connected components: (entity_id, component) where
+    component = min entity_id in the component.
+
+    Matches union-find semantics of the reference merge
+    (llm_builders.py:519-531) and DFS components
+    (graph_analyzer.py:173-204).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+    )
+    ids = sym.select(F.col("a").alias("entity_id")).distinct()
+    if nodes is not None:
+        ids = ids.unionByName(nodes.select("entity_id")).distinct()
+    labels = ids.select("entity_id", F.col("entity_id").alias("component"))
+    labels = labels.localCheckpoint()
+
+    for _ in range(max_iter):
+        # hash-min: each node adopts min(own label, neighbors' labels)
+        nb_min = (
+            sym.join(labels.withColumnRenamed("entity_id", "b"), "b")
+            .groupBy(F.col("a").alias("entity_id"))
+            .agg(F.min("component").alias("nb_component"))
+        )
+        stepped = (
+            labels.join(nb_min, "entity_id", "left")
+            .select(
+                "entity_id",
+                F.least(
+                    F.col("component"), F.coalesce("nb_component", "component")
+                ).alias("component"),
+            )
+        )
+        # pointer jumping: follow component -> its component (halves chains)
+        jump = labels.select(
+            F.col("entity_id").alias("component"), F.col("component").alias("jumped")
+        )
+        new_labels = (
+            stepped.join(jump, "component", "left")
+            .select(
+                "entity_id",
+                F.least(F.col("component"), F.coalesce("jumped", "component")).alias(
+                    "component"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "entity_id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def component_sizes(labels: DataFrame) -> DataFrame:
+    return labels.groupBy("component").agg(F.count("*").alias("size"))
+
+
+def bfs_distances(
+    edges: DataFrame,
+    start_id: str,
+    max_depth: int = 5,
+    undirected: bool = True,
+) -> DataFrame:
+    """A9: unweighted BFS distance from start to all nodes within max_depth
+    (graph_path_finder.py:44-103). Frontier-expansion joins with a visited
+    anti-join; at most max_depth iterations."""
+    spark = edges.sparkSession
+    adj = edges.select(F.col("head_id").alias("src"), F.col("tail_id").alias("dst"))
+    if undirected:
+        adj = adj.unionByName(
+            edges.select(F.col("tail_id").alias("src"), F.col("head_id").alias("dst"))
+        )
+    adj = adj.distinct()
+    visited = spark.createDataFrame([(start_id, 0)], "entity_id string, dist int")
+    frontier = visited
+    for d in range(1, max_depth + 1):
+        nxt = (
+            adj.join(
+                frontier.select(F.col("entity_id").alias("src")), "src"
+            )
+            .select(F.col("dst").alias("entity_id"))
+            .distinct()
+            .join(visited.select("entity_id"), "entity_id", "left_anti")
+            .withColumn("dist", F.lit(d))
+        )
+        nxt = nxt.localCheckpoint()
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited
+
+
+def bounded_cycles(edges: DataFrame, max_len: int = 3) -> DataFrame:
+    """A11 (bounded variant): directed cycles of length 2..max_len as
+    (cycle_start, cycle_len), canonicalized so cycle_start = min node id in
+    the cycle (one row per cycle instance set). Reference finds DFS cycles
+    <= length 5 (graph_path_finder.py:224-280); bounded self-join expansion
+    here, distinct-ed."""
+    e = edges.select(F.col("head_id").alias("a"), F.col("tail_id").alias("b")).distinct()
+    out = None
+    # len 2: a->b->a
+    c2 = (
+        e.alias("x")
+        .join(e.alias("y"), (F.col("x.b") == F.col("y.a")) & (F.col("y.b") == F.col("x.a")))
+        .where(F.col("x.a") < F.col("x.b"))
+        .select(F.col("x.a").alias("cycle_start"), F.lit(2).alias("cycle_len"))
+        .distinct()
+    )
+    out = c2
+    if max_len >= 3:
+        c3 = (
+            e.alias("x")
+            .join(e.alias("y"), F.col("x.b") == F.col("y.a"))
+            .join(
+                e.alias("z"),
+                (F.col("y.b") == F.col("z.a")) & (F.col("z.b") == F.col("x.a")),
+            )
+            .where((F.col("x.a") < F.col("x.b")) & (F.col("x.a") < F.col("y.b")))
+            .select(F.col("x.a").alias("cycle_start"), F.lit(3).alias("cycle_len"))
+            .distinct()
+        )
+        out = out.unionByName(c3)
+    return out

@@ -1,0 +1,237 @@
+"""Document-level deduplication for training-data pipelines: exact,
+n-gram Jaccard (inverted-index join), MinHash+LSH, SimHash.
+
+Scale notes (the whole point of these):
+- Exact: one groupBy on a fingerprint hash — the cheapest pass, run first.
+- N-gram Jaccard: NEVER all-pairs. Explode distinct shingles, drop shingles
+  that occur in too many docs (stop-shingle cap — they only produce junk
+  pairs and are the skew source), self-join the inverted index, count
+  intersections, compute |A∩B|/(|A|+|B|-|A∩B|).
+- MinHash: k independent permutations approximated by k salted xxhash64
+  mins — computed in one explode+groupBy; LSH bands group signatures into
+  buckets so candidate pairs come from bucket joins, not comparisons.
+- SimHash: 64-bit majority-of-token-hash-bits fingerprint; near-dup = low
+  Hamming distance within same band buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import fingerprint
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (whitespace-normalized) documents."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("cnt"), F.min(id_col).alias("keeper_id"))
+        .where(F.col("cnt") > 1)
+    )
+
+
+def word_shingles(text: F.Column, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles of lower(text)."""
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    return F.array_distinct(
+        F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", words)))
+    )
+
+
+def shingle_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc"), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_docs: int = 200,
+) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard >= threshold.
+
+    Inverted-index join: pairs only share-a-shingle docs are compared.
+    ``max_shingle_docs`` drops shingles present in more than that many docs
+    (hot-key/skew guard; such shingles are boilerplate and only inflate the
+    candidate pair space quadratically)."""
+    sh = shingle_table(df, id_col, text_col, n).persist()
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    hot = (
+        sh.groupBy("shingle").agg(F.count("*").alias("df_cnt"))
+        .where(F.col("df_cnt") > max_shingle_docs)
+        .select("shingle")
+    )
+    filtered = sh.join(hot, "shingle", "left_anti")
+    a = filtered.alias("a")
+    b = filtered.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 32,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc, sig: array<bigint>) — k salted-xxhash64 min values over the
+    shingle set. One explode + one groupBy; no UDF."""
+    sh = shingle_table(df, id_col, text_col, n)
+    mins = [
+        F.min(F.xxhash64(F.concat(F.lit(f"mh{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc").agg(*mins)
+    return sig.select("doc", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates verified by estimated Jaccard.
+
+    Band buckets: docs agreeing on all rows of any band collide; candidate
+    pairs come from within-bucket joins (shuffle keyed by (band, bucket
+    hash) — bounded by bucket sizes, not corpus size). Estimated Jaccard =
+    fraction of agreeing minhash components."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, num_hashes, n, id_col, text_col).persist()
+    band_rows = sig.select(
+        "doc",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(",", *[F.element_at("sig", b * rows + r + 1).cast("string") for r in range(rows)])
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                    lambda v: v == 1,
+                )
+            )
+            / F.lit(num_hashes),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    )
+    return est
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over word tokens: per-bit majority of token hashes.
+
+    Explode tokens, xxhash64 each, aggregate per-bit +1/-1 sums, assemble
+    bits — one groupBy, JVM-side bit arithmetic."""
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\w+"), 0)).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = toks.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    sim = bit_sums.select(
+        "doc",
+        sum(
+            [
+                F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (2**i)).otherwise(F.lit(0).cast("long"))
+                for i in range(63)  # bit 63 kept zero to stay in signed range
+            ]
+        ).alias("simhash"),
+    )
+    return sim
+
+
+def hamming64(a: F.Column, b: F.Column) -> F.Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, band_bits: int = 16, **kw) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit bands
+    (a pair within Hamming<=3 of 64 bits must agree on >=1 of 4 bands)."""
+    sim = simhash64(df, **kw).persist()
+    bands = sim.select(
+        "doc",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), i * band_bits).bitwiseAND(F.lit((1 << band_bits) - 1))
+                    for i in range(64 // band_bits)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

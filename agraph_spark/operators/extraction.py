@@ -88,27 +88,33 @@ def extract_mentions(documents: DataFrame) -> DataFrame:
     )
 
 
-def extract_keywords(documents: DataFrame) -> DataFrame:
-    """E3: frequent-word concept entities, fully built-in.
-
-    words = lower(text) tokens of >=3 ASCII letters; drop stopwords; keep
-    freq >= 2; top-10 by first occurrence (dict-insertion order in the
-    reference); confidence fixed 0.6 (entity_extractor.py:242-251)."""
+def keyword_counts(documents: DataFrame, id_col: str = "conv_id") -> DataFrame:
+    """E3 inner stage: (id, word, cnt, first_pos, rk) — frequent non-stopword
+    words (>=3 ASCII letters, freq >= 2), ranked by first occurrence
+    (dict-insertion order in the reference), top-10
+    (entity_extractor.py:328-351)."""
     words = documents.select(
-        "conv_id",
+        F.col(id_col),
         F.posexplode(
             F.regexp_extract_all(F.lower(F.col("text")), F.lit(P.KEYWORD_REGEX), 0)
         ).alias("pos", "word"),
     ).where(~F.col("word").isin(P.STOPWORDS))
     counts = (
-        words.groupBy("conv_id", "word")
+        words.groupBy(id_col, "word")
         .agg(F.count("*").alias("cnt"), F.min("pos").alias("first_pos"))
         .where(F.col("cnt") >= P.KEYWORD_MIN_FREQ)
     )
-    w = Window.partitionBy("conv_id").orderBy("first_pos")
+    w = Window.partitionBy(id_col).orderBy("first_pos")
+    return counts.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= P.KEYWORD_TOP_K
+    )
+
+
+def extract_keywords(documents: DataFrame) -> DataFrame:
+    """E3: frequent-word concept entities with fixed confidence 0.6
+    (entity_extractor.py:242-251)."""
     return (
-        counts.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= P.KEYWORD_TOP_K)
+        keyword_counts(documents)
         .select(
             "conv_id",
             F.col("word").alias("name"),

@@ -1,0 +1,134 @@
+"""Embedding / vector retrieval operators (SURVEY.md §2.8, V1-V7) plus the
+scale-path ANN variants a 100 TB training-data pipeline needs.
+
+All similarity math is JVM-side column expressions over ``array<float>``
+(``zip_with`` + ``aggregate``) — whole-stage-codegen'd, no Python in the hot
+path. Reference: brute force over a dict of np arrays
+(/root/reference/agraph/storage/vector_storage.py:310-353).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """V3: dot/(|a||b|), 0.0 on zero norm (vector_storage.py:334-353)."""
+    na, nb = norm(a), norm(b)
+    return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(dot(a, b) / (na * nb))
+
+
+def cosine_scores(
+    embeddings: DataFrame,
+    query: DataFrame,
+    vec_col: str = "embedding",
+    query_col: str = "query_vec",
+) -> DataFrame:
+    """Score every row against a single query vector (1-row DataFrame,
+    broadcast by Catalyst). V4 minus the top-k cut."""
+    q = F.broadcast(query)
+    return embeddings.crossJoin(q).withColumn(
+        "score", cosine(F.col(vec_col).cast("array<double>"), F.col(query_col).cast("array<double>"))
+    ).drop(query_col)
+
+
+def topk_similar(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    threshold: float = 0.0,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """V4: brute-force top-k (vector_storage.py:310-332): score all, filter
+    >= threshold, sort desc (id tiebreak), take k. One scan + one small
+    sort — the right plan for a single query at any scale."""
+    scored = cosine_scores(embeddings, query)
+    return (
+        scored.where(F.col("score") >= threshold)
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def hyperplane_lsh_bucket(
+    vec_col: Column, planes: list[list[float]]
+) -> Column:
+    """Scale path: sign-random-projection bucket id (one bit per plane).
+    ``planes`` is a small driver-side list (seeded), compiled into column
+    expressions — JVM-side, no UDF."""
+    bits = []
+    for i, p in enumerate(planes):
+        lit = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(
+            F.when(dot(vec_col.cast("array<double>"), lit) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def ann_topk_lsh(
+    embeddings: DataFrame,
+    query: DataFrame,
+    planes: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN: restrict the exact rerank to the query's LSH bucket.
+    At 100 TB the bucket column is a partition/cluster key so the scan
+    prunes to 1/2^p of the data; here it is computed on the fly."""
+    bucketed = embeddings.withColumn("bucket", hyperplane_lsh_bucket(F.col("embedding"), planes))
+    qb = query.withColumn("bucket", hyperplane_lsh_bucket(F.col("query_vec"), planes))
+    cand = bucketed.join(F.broadcast(qb.select("bucket", "query_vec")), "bucket")
+    scored = cand.withColumn(
+        "score",
+        cosine(F.col("embedding").cast("array<double>"), F.col("query_vec").cast("array<double>")),
+    ).drop("query_vec")
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def render_entity_text(nodes: DataFrame) -> DataFrame:
+    """V1: text rendering for embedding — name + description + aliases
+    (graph_embedding.py:529-547) as one concat_ws expression."""
+    return nodes.withColumn(
+        "render_text",
+        F.concat_ws(
+            " ",
+            F.col("name"),
+            F.col("description"),
+            F.when(
+                F.size(F.coalesce(F.col("aliases"), F.array())) > 0,
+                F.concat(F.lit("别名: "), F.concat_ws(",", F.col("aliases"))),
+            ),
+        ),
+    )
+
+
+def embed_hash_stub(df: DataFrame, text_col: str = "render_text", dim: int = 16) -> DataFrame:
+    """V2 stand-in encoder: deterministic hash-derived embedding, computed
+    JVM-side (xxhash64 over salted text), unit-scale-ish. The production
+    encoder swaps in a batched-inference mapInPandas kernel (one model call
+    per Arrow batch, graph_embedding.py:549-598 semantics); tests use this
+    stub so results are reproducible with zero network."""
+    comps = [
+        (
+            (F.pmod(F.xxhash64(F.concat(F.col(text_col), F.lit(f"#{i}"))), F.lit(2000)) - 1000)
+            / 1000.0
+        ).cast("float")
+        for i in range(dim)
+    ]
+    return df.withColumn("embedding", F.array(*comps))
