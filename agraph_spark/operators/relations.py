@@ -122,7 +122,9 @@ def pattern_relations(candidates: DataFrame, entities: DataFrame) -> DataFrame:
         .unionByName(candidates.select("conv_id", F.col("tail_text").alias("text")))
         .distinct()
     )
-    res = resolve_mentions(texts, entities)
+    # consumed twice (head + tail joins): persist so the fuzzy-containment
+    # cartesian join runs once, not once per side
+    res = resolve_mentions(texts, entities).persist()
     h = res.select(
         "conv_id",
         F.col("text").alias("head_text"),
@@ -170,9 +172,11 @@ def cooccurrence_relations(documents: DataFrame, entities: DataFrame) -> DataFra
     """E6: entities co-occurring in a sentence -> RELATED_TO pairs, ordered by
     emission order (i < j), conf 0.5 (relation_extractor.py:447-487)."""
     sents = split_sentences(documents)
+    # persist: the self-join below would otherwise evaluate the
+    # sentence x entity containment join once per side
     hits = sents.join(entities, "conv_id").where(
         F.instr(F.col("sent"), F.col("name_norm")) > 0
-    ).select("conv_id", "sent_idx", "name_norm", "entity_type", "entity_order")
+    ).select("conv_id", "sent_idx", "name_norm", "entity_type", "entity_order").persist()
     a = hits.alias("a")
     b = hits.alias("b")
     return (

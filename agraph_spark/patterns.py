@@ -150,6 +150,9 @@ SENTENCE_SPLIT_REGEX = r"[.!?]+"  # relation_extractor.py:461
 KEYWORD_SEQ_BASE = 10**10
 
 
+_KEYWORD_RX = re.compile("(" + KEYWORD_REGEX + ")")
+
+
 def compiled_entity_patterns() -> list[tuple[int, str, int, "re.Pattern[str]"]]:
     """[(type_idx, entity_type, pattern_idx, compiled-with-IGNORECASE)] in
     reference emission order; the whole pattern is wrapped in one capture

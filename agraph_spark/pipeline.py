@@ -18,9 +18,13 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql import functions as F  # noqa: F811
+
 from .operators.extraction import extract_entities
+from .operators.fused import extract_documents_fused, extract_entities_fused
 from .operators.reassemble import reassemble_conversations
 from .operators.relations import extract_relations, to_triples
+from .operators.relations_fused import extract_relations_fused
 
 
 @dataclass
@@ -31,28 +35,54 @@ class KGBuild:
     triples: DataFrame
 
 
-def build_kg(transcripts: DataFrame, cache_documents: bool = True) -> KGBuild:
+def build_kg(
+    transcripts: DataFrame, cache_documents: bool = True, mode: str = "fused"
+) -> KGBuild:
     """Run the deterministic extraction pipeline over a transcripts table.
 
-    ``documents`` and ``entities`` feed two downstream consumers each
-    (pattern relations + co-occurrence), so they are cached to avoid
-    recomputing the extraction kernels.
+    Modes (all held to exact reference parity by the test suite):
+    - "fused" (default): per-document work (mentions, confidence, keywords,
+      dedup) in ONE mapInPandas pass (operators/fused.py); the cross-row
+      relation steps (endpoint resolution, sentence co-occurrence) stay as
+      join-based Spark operators — measured fastest.
+    - "modular": every stage as an individually-tested Spark operator.
+    - "fused_arrays": the zero-join variant where E6/E7 run as nested
+      higher-order array expressions on per-conversation arrays
+      (operators/relations_fused.py). Measured ~2x SLOWER than the join
+      formulation: nested lambdas are evaluated interpreted (outside
+      whole-stage codegen), so the per-element cost dwarfs the saved
+      shuffles. Kept for the record and for inputs where shuffle volume,
+      not CPU, is the binding constraint.
     """
     documents = reassemble_conversations(transcripts)
     if cache_documents:
         documents = documents.persist()
-    entities = extract_entities(documents)
-    if cache_documents:
-        entities = entities.persist()
-    relations = extract_relations(documents, entities)
+    if mode == "fused_arrays":
+        extracted = extract_documents_fused(documents)
+        if cache_documents:
+            extracted = extracted.persist()
+        entities = extracted.select(
+            "conv_id", F.explode("ents").alias("e")
+        ).select(
+            "conv_id", "e.name", "e.name_norm", "e.entity_type", "e.confidence",
+            "e.entity_order",
+        )
+        relations = extract_relations_fused(extracted)
+    else:
+        extract = extract_entities_fused if mode == "fused" else extract_entities
+        entities = extract(documents)
+        if cache_documents:
+            entities = entities.persist()
+        relations = extract_relations(documents, entities)
     triples = to_triples(relations)
     return KGBuild(documents, entities, relations, triples)
 
 
-def build_triples_from_texts(documents: DataFrame) -> DataFrame:
+def build_triples_from_texts(documents: DataFrame, mode: str = "fused") -> DataFrame:
     """Same pipeline for inputs that are already one-document-per-row
     (e.g. the driver's ``documents`` parquet): expects (conv_id, text)."""
     documents = documents.persist()
-    entities = extract_entities(documents).persist()
+    extract = extract_entities_fused if mode == "fused" else extract_entities
+    entities = extract(documents).persist()
     relations = extract_relations(documents, entities)
     return to_triples(relations)

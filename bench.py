@@ -1,0 +1,115 @@
+"""Benchmark harness: headline KG-construction throughput + key queries.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": <sf>, "triples_per_sec": N, ...}
+
+Input scale: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) for the
+driver tables; the transcript corpus is synthesized deterministically at a
+size proportional to sf (seed fixed). Parallelism: $SPARK_GRAFT_CPUS
+(default 32) -> local[N]; the N-vs-4N scaling run lives in
+tools/bench_scaling.py and reports into BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from agraph_spark.pipeline import build_kg  # noqa: E402
+from agraph_spark.session import get_spark  # noqa: E402
+from agraph_spark.synth import transcripts_df  # noqa: E402
+
+
+def parse_sf(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = parse_sf(sf_dir)
+    n_convs = max(200, int(30000 * sf))
+
+    spark = get_spark(
+        app_name="agraph_spark_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # headline: full KG construction over synthetic multi-turn transcripts
+    tdf = transcripts_df(spark, n_convs=n_convs, seed=42).persist()
+    n_turns = tdf.count()
+
+    def kg_build():
+        build = build_kg(tdf)
+        n = build.triples.count()
+        build.documents.unpersist()
+        build.entities.unpersist()
+        return n
+
+    n_triples = timed("kg_build_transcripts", kg_build)
+    extra["n_convs"] = n_convs
+    extra["n_turns"] = n_turns
+    extra["n_triples"] = n_triples
+    extra["triples_per_sec"] = round(n_triples / timings["kg_build_transcripts"], 1)
+    extra["turns_per_sec"] = round(n_turns / timings["kg_build_transcripts"], 1)
+
+    # document-corpus extraction (driver's documents table)
+    qs = entrymod.queries()
+    n_doc_triples = timed(
+        "kg_triples_docs", lambda: qs["kg_triples_docs"](spark, sf_dir).count()
+    )
+    extra["n_doc_triples"] = n_doc_triples
+
+    for name in [
+        "g_degree",
+        "g_components",
+        "g_bfs",
+        "dd_ngram_jaccard",
+        "dd_minhash",
+        "v_cosine",
+        "ev_sessionize",
+        "tpch_q1",
+    ]:
+        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "kg_construct_suite",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                **extra,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

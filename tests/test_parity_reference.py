@@ -26,10 +26,13 @@ def golden_triples(pdf: pd.DataFrame) -> set[tuple[str, str, str]]:
     return out
 
 
-@pytest.mark.parametrize("seed,n_convs", [(7, 25), (42, 40)])
-def test_triple_parity(spark, seed, n_convs):
+@pytest.mark.parametrize(
+    "seed,n_convs,mode",
+    [(7, 25, "fused"), (42, 40, "fused"), (7, 25, "modular"), (42, 40, "modular")],
+)
+def test_triple_parity(spark, seed, n_convs, mode):
     tdf = transcripts_df(spark, n_convs=n_convs, seed=seed)
-    build = build_kg(tdf)
+    build = build_kg(tdf, mode=mode)
     got = {
         (r.subj, r.pred, r.obj)
         for r in build.triples.select("subj", "pred", "obj").distinct().collect()
