@@ -1,0 +1,91 @@
+"""Connected components / BFS / degree vs pure-Python oracles on seeded
+random graphs (FIXTURES.md §6)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from agraph_spark.operators.analytics import degree_per_node, isolated_nodes
+from agraph_spark.operators.components import bfs_distances, connected_components
+
+
+def random_graph(n_nodes, n_edges, seed):
+    rng = random.Random(seed)
+    nodes = [f"n{i:04d}" for i in range(n_nodes)]
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(n_edges)
+    ]
+    return nodes, edges
+
+
+def py_components(nodes, edges):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def py_bfs(nodes, edges, start, max_depth):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {start: 0}
+    frontier = [start]
+    for d in range(1, max_depth + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = d
+                    nxt.append(v)
+        frontier = nxt
+    return dist
+
+
+@pytest.mark.parametrize("n,m,seed", [(50, 40, 1), (300, 500, 2), (100, 30, 3)])
+def test_components_vs_unionfind(spark, n, m, seed):
+    nodes, edges = random_graph(n, m, seed)
+    ndf = spark.createDataFrame([(x,) for x in nodes], "entity_id string")
+    edf = spark.createDataFrame(edges, "head_id string, tail_id string")
+    got = {
+        r.entity_id: r.component for r in connected_components(edf, ndf).collect()
+    }
+    want = py_components(nodes, edges)
+    # same partitioning into components, with min-id canonical labels
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [5, 6])
+def test_bfs_vs_python(spark, seed):
+    nodes, edges = random_graph(120, 200, seed)
+    edf = spark.createDataFrame(edges, "head_id string, tail_id string")
+    start = nodes[0]
+    got = {r.entity_id: r.dist for r in bfs_distances(edf, start, max_depth=5).collect()}
+    want = py_bfs(nodes, edges, start, 5)
+    assert got == want
+
+
+def test_degree_and_isolated(spark):
+    ndf = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], "entity_id string")
+    edf = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("b", "c"), ("c", "c")],
+        "head_id string, tail_id string",
+    )
+    deg = {r.entity_id: (r.in_degree, r.out_degree, r.degree)
+           for r in degree_per_node(ndf, edf).collect()}
+    # self-loop counts both in and out (graph_analyzer.py:138-171)
+    assert deg == {"a": (0, 2, 2), "b": (2, 1, 3), "c": (2, 1, 3), "d": (0, 0, 0)}
+    iso = [r.entity_id for r in isolated_nodes(ndf, edf).collect()]
+    assert iso == ["d"]
