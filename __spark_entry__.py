@@ -380,6 +380,38 @@ def q_ev_reassemble(spark, sf_dir):
     )
 
 
+def q_kg_chunks(spark, sf_dir):
+    from agraph_spark.operators.chunking import chunk_documents
+
+    d = _docs(spark, sf_dir).select(F.col("doc_id").cast("string").alias("conv_id"), "text")
+    ch = chunk_documents(d, chunk_size=64, overlap=16)
+    return ch.groupBy(F.col("conv_id").cast("bigint").alias("doc_id")).agg(
+        F.count("*").alias("n_chunks"),
+        F.max("end_index").cast("bigint").alias("n_words"),
+    )
+
+
+def q_kg_search_multi(spark, sf_dir):
+    """V8 union-pass retrieval over hash-stub embeddings (non-SQL)."""
+    from agraph_spark.operators.retrieval import search_knowledge
+    from agraph_spark.operators.vectors import embed_hash_stub
+
+    d = _docs(spark, sf_dir)
+    chunks = embed_hash_stub(d.select(F.col("conv_id").alias("chunk_id"),
+                                      F.col("text").alias("render_text")))
+    nodes = embed_hash_stub(
+        d.select(F.concat(F.lit("e"), "conv_id").alias("entity_id"),
+                 F.substring("text", 1, 40).alias("render_text")))
+    edges = embed_hash_stub(
+        d.select(F.concat(F.lit("r"), "conv_id").alias("edge_id"),
+                 F.substring("text", 20, 40).alias("render_text")))
+    q = embed_hash_stub(
+        spark.createDataFrame([("table join query",)], "render_text string")
+    ).select(F.col("embedding").alias("query_vec"))
+    out = search_knowledge(nodes, edges, chunks, q, k=5, threshold=-1.0)
+    return out.select("item_id", "namespace", F.round("score", 3).alias("score"))
+
+
 # ------------------------------------------------------------ TPC-H sanity
 
 def q_tpch_q1(spark, sf_dir):
@@ -408,6 +440,22 @@ def q_tpch_seg_month(spark, sf_dir):
             F.count("*").alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
+    )
+
+
+def q_tpch_topk_orders(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("c_mktsegment", "o_orderkey", F.round("o_totalprice", 2).alias("total"), "rk")
     )
 
 
@@ -453,8 +501,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_label_pairs": q_v_label_pairs,
         "ev_sessionize": q_ev_sessionize,
         "ev_reassemble": q_ev_reassemble,
+        "kg_chunks": q_kg_chunks,
+        "kg_search_multi": q_kg_search_multi,
         "tpch_q1": q_tpch_q1,
         "tpch_seg_month": q_tpch_seg_month,
+        "tpch_topk_orders": q_tpch_topk_orders,
     }
 
 
@@ -768,6 +819,25 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS count_order
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus""",
+        "kg_chunks": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words
+              FROM documents
+            )
+            SELECT doc_id,
+                   (CASE WHEN n_words <= 48 THEN 1
+                         ELSE ceil((n_words - 48) / 36.0) + 1 END)::BIGINT AS n_chunks,
+                   n_words::BIGINT AS n_words
+            FROM w WHERE n_words > 0""",
+        "tpch_topk_orders": """
+            SELECT c_mktsegment, o_orderkey,
+                   round(o_totalprice, 2)::DOUBLE AS total,
+                   row_number() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY o_totalprice DESC, o_orderkey ASC)::INT AS rk
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            QUALIFY rk <= 3""",
         "tpch_seg_month": """
             SELECT c_mktsegment, month(o_orderdate)::INT AS order_month,
                    count(*)::BIGINT AS n_orders,

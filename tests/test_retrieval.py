@@ -1,0 +1,87 @@
+"""Retrieval: union-pass multi-index search, hybrid scoring, connected-chunk
+expansion, cosine top-k vs NumPy."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from agraph_spark.operators.retrieval import (
+    expand_connected_chunks,
+    hybrid_search_chunks,
+    search_knowledge,
+    search_namespace,
+)
+from agraph_spark.operators.vectors import embed_hash_stub, topk_similar
+
+
+def test_topk_vs_numpy(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((200, 16)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    q = spark.createDataFrame([(vecs[7].tolist(),)], "query_vec array<float>")
+    got = [(r.vec_id, r.score) for r in topk_similar(df, q, k=5).collect()]
+    sims = (vecs @ vecs[7]) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[7]))
+    want_ids = np.argsort(-sims)[:5].tolist()
+    assert [g[0] for g in got] == want_ids
+    assert got[0][0] == 7 and abs(got[0][1] - 1.0) < 1e-6
+
+
+def test_search_knowledge_union_pass(spark):
+    nodes = embed_hash_stub(
+        spark.createDataFrame([("e1", "apple"), ("e2", "pear")], "entity_id string, render_text string")
+    )
+    edges = embed_hash_stub(
+        spark.createDataFrame([("r1", "apple grows")], "edge_id string, render_text string")
+    )
+    chunks = embed_hash_stub(
+        spark.createDataFrame([("c1", "apple text"), ("c2", "other")], "chunk_id string, render_text string")
+    )
+    q = embed_hash_stub(
+        spark.createDataFrame([("q", "apple")], "qid string, render_text string")
+    ).select(F.col("embedding").alias("query_vec"))
+    out = search_knowledge(nodes, edges, chunks, q, k=2, threshold=-1.0)
+    by_ns = {}
+    for r in out.collect():
+        by_ns.setdefault(r.namespace, []).append(r.item_id)
+    assert set(by_ns) == {"entity", "relation", "text_chunk"}
+    assert len(by_ns["entity"]) == 2 and len(by_ns["text_chunk"]) == 2
+
+
+def test_hybrid_search_prefers_exact_substring(spark):
+    chunks = embed_hash_stub(
+        spark.createDataFrame(
+            [("c1", "the apple pie recipe", None), ("c2", "unrelated words here", None)],
+            "chunk_id string, content string, title string",
+        ).withColumn("render_text", F.col("content"))
+    )
+    q = embed_hash_stub(
+        spark.createDataFrame([("apple pie",)], "render_text string")
+    ).select(F.col("embedding").alias("query_vec"))
+    top = hybrid_search_chunks(chunks, "apple pie", q, k=1).first()
+    assert top.chunk_id == "c1" and top.text_score == 0.8
+
+
+def test_expand_connected_chunks(spark):
+    retrieved = spark.createDataFrame(
+        [("e1", "entity", 0.9), ("e2", "entity", 0.5), ("r1", "relation", 0.7)],
+        "item_id string, namespace string, score double",
+    )
+    links = spark.createDataFrame(
+        [("c1", "e1"), ("c1", "e2"), ("c2", "e2"), ("c3", "zzz")],
+        "chunk_id string, entity_id string",
+    )
+    out = {r.chunk_id: r.n_connections for r in expand_connected_chunks(retrieved, links).collect()}
+    assert out == {"c1": 2, "c2": 1}
+
+
+def test_search_namespace_threshold(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    q = spark.createDataFrame([([1.0, 0.0],)], "query_vec array<float>")
+    got = [r.vec_id for r in search_namespace(df, q, k=10, threshold=0.5, id_col="vec_id").collect()]
+    assert got == [1, 3]
