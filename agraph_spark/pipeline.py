@@ -41,11 +41,15 @@ def build_kg(
     """Run the deterministic extraction pipeline over a transcripts table.
 
     Modes (all held to exact reference parity by the test suite):
-    - "fused" (default): per-document work (mentions, confidence, keywords,
-      dedup) in ONE mapInPandas pass (operators/fused.py); the cross-row
-      relation steps (endpoint resolution, sentence co-occurrence) stay as
-      join-based Spark operators — measured fastest.
-    - "modular": every stage as an individually-tested Spark operator.
+    - "fused" (default): ALL per-document work — mentions, confidence,
+      keywords, dedup AND relation-candidate extraction — in ONE
+      mapInPandas pass emitting per-conversation arrays
+      (operators/fused.py); entity/candidate rows are narrow explodes of
+      the cached kernel output, and the cross-row relation steps (endpoint
+      resolution, sentence co-occurrence) run as join-based codegen
+      operators. One Python pass over the corpus total.
+    - "modular": every stage as an individually-tested Spark operator
+      (two Python passes + per-stage shuffles).
     - "fused_arrays": the zero-join variant where E6/E7 run as nested
       higher-order array expressions on per-conversation arrays
       (operators/relations_fused.py). Measured ~2x SLOWER than the join
@@ -55,22 +59,38 @@ def build_kg(
       not CPU, is the binding constraint.
     """
     documents = reassemble_conversations(transcripts)
-    if cache_documents:
-        documents = documents.persist()
-    if mode == "fused_arrays":
+    if mode in ("fused", "fused_arrays"):
         extracted = extract_documents_fused(documents)
         if cache_documents:
             extracted = extracted.persist()
+        documents = extracted.select("conv_id", "text")
         entities = extracted.select(
             "conv_id", F.explode("ents").alias("e")
         ).select(
             "conv_id", "e.name", "e.name_norm", "e.entity_type", "e.confidence",
             "e.entity_order",
         )
-        relations = extract_relations_fused(extracted)
+        if mode == "fused_arrays":
+            relations = extract_relations_fused(extracted)
+        else:
+            from .operators.relations import (
+                cooccurrence_relations,
+                pattern_relations,
+                validate_relations,
+            )
+
+            candidates = extracted.select(
+                "conv_id", F.explode("cands").alias("c")
+            ).select("conv_id", "c.pred", "c.head_text", "c.tail_text")
+            pat = pattern_relations(candidates, entities)
+            coo = cooccurrence_relations(documents, entities)
+            relations = validate_relations(pat.unionByName(coo))
+        # expose the persisted kernel output for unpersist() by callers
+        documents = extracted
     else:
-        extract = extract_entities_fused if mode == "fused" else extract_entities
-        entities = extract(documents)
+        if cache_documents:
+            documents = documents.persist()
+        entities = extract_entities(documents)
         if cache_documents:
             entities = entities.persist()
         relations = extract_relations(documents, entities)
@@ -81,8 +101,25 @@ def build_kg(
 def build_triples_from_texts(documents: DataFrame, mode: str = "fused") -> DataFrame:
     """Same pipeline for inputs that are already one-document-per-row
     (e.g. the driver's ``documents`` parquet): expects (conv_id, text)."""
+    if mode == "fused":
+        from .operators.relations import (
+            cooccurrence_relations,
+            pattern_relations,
+            validate_relations,
+        )
+
+        extracted = extract_documents_fused(documents).persist()
+        entities = extracted.select("conv_id", F.explode("ents").alias("e")).select(
+            "conv_id", "e.name", "e.name_norm", "e.entity_type", "e.confidence",
+            "e.entity_order",
+        )
+        candidates = extracted.select("conv_id", F.explode("cands").alias("c")).select(
+            "conv_id", "c.pred", "c.head_text", "c.tail_text"
+        )
+        pat = pattern_relations(candidates, entities)
+        coo = cooccurrence_relations(extracted.select("conv_id", "text"), entities)
+        return to_triples(validate_relations(pat.unionByName(coo)))
     documents = documents.persist()
-    extract = extract_entities_fused if mode == "fused" else extract_entities
-    entities = extract(documents).persist()
+    entities = extract_entities(documents).persist()
     relations = extract_relations(documents, entities)
     return to_triples(relations)

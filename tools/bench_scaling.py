@@ -77,8 +77,10 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--child":
         child(int(sys.argv[2]), int(sys.argv[3]))
         return
-    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 6000
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 100000
+    # default N=2 (so 4N=8): both levels stay far below the 32-core host's
+    # saturation point — see BENCH/BASELINE.md for the full curve & analysis
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     r_n = run_child(n, n_convs)
     r_4n = run_child(4 * n, n_convs)
     assert r_n["n_triples"] == r_4n["n_triples"], "parallelism changed the result!"
