@@ -443,6 +443,65 @@ def q_tpch_seg_month(spark, sf_dir):
     )
 
 
+def q_f1_entity_filter(spark, sf_dir):
+    from agraph_spark.operators.graph_queries import query_entities
+
+    nodes, _ = _g(spark, sf_dir)
+    return query_entities(
+        nodes, entity_type="supplier", name_contains="supplier#00000000",
+        min_confidence=0.85, limit=100,
+    ).select("entity_id", "name")
+
+
+def q_d9_upsert(spark, sf_dir):
+    from agraph_spark.operators.graph_queries import upsert_nodes
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    base = c.select(
+        F.concat(F.lit("E"), F.col("c_custkey").cast("string")).alias("entity_id"),
+        F.col("c_name").alias("name"),
+        F.lower("c_name").alias("name_norm"),
+        F.lit("customer").alias("entity_type"),
+        F.lit(0.5).alias("confidence"),
+        F.array().cast("array<string>").alias("aliases"),
+        F.lit(1).cast("long").alias("n_mentions"),
+    )
+    existing = base.where(F.col("entity_id").substr(2, 99).cast("long") % 2 == 0)
+    batch = base.where(F.col("entity_id").substr(2, 99).cast("long") % 3 == 0) \
+        .withColumn("entity_id", F.concat(F.lit("B"), F.col("entity_id").substr(2, 99))) \
+        .withColumn("confidence", F.lit(0.9))
+    return upsert_nodes(existing, batch).select(
+        "entity_id", "name_norm", "confidence", "n_mentions"
+    )
+
+
+def q_db_schema(spark, sf_dir):
+    """S3/E10/E11 over a fixed catalog dict (non-SQL: driver-side flatten)."""
+    from agraph_spark.operators.db_schema import (
+        catalog_from_dict,
+        extract_db_entities,
+        extract_db_relations,
+    )
+
+    schema = {
+        "database_name": "shopdb",
+        "tables": [
+            {"name": "tbl_users", "columns": [{"name": "id"}, {"name": "email"}]},
+            {"name": "tb_orders", "columns": [
+                {"name": "id"},
+                {"name": "user_id", "foreign_key": {"table": "tbl_users", "column": "id"}},
+            ]},
+        ],
+    }
+    cat = catalog_from_dict(spark, schema)
+    ents = extract_db_entities(cat).select(
+        F.col("name").alias("item"), F.col("entity_type").alias("kind"))
+    rels = extract_db_relations(cat).select(
+        F.concat_ws("->", "head_name", "tail_name").alias("item"),
+        F.col("pred").alias("kind"))
+    return ents.unionByName(rels)
+
+
 def q_tpch_topk_orders(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -503,6 +562,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_reassemble": q_ev_reassemble,
         "kg_chunks": q_kg_chunks,
         "kg_search_multi": q_kg_search_multi,
+        "f1_entity_filter": q_f1_entity_filter,
+        "d9_upsert": q_d9_upsert,
+        "db_schema": q_db_schema,
         "tpch_q1": q_tpch_q1,
         "tpch_seg_month": q_tpch_seg_month,
         "tpch_topk_orders": q_tpch_topk_orders,
@@ -819,6 +881,28 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS count_order
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus""",
+        "f1_entity_filter": _GC + """
+            SELECT entity_id, name FROM nodes
+            WHERE entity_type = 'supplier'
+              AND strpos(lower(name), 'supplier#00000000') > 0
+              AND confidence >= 0.85
+            ORDER BY entity_id LIMIT 100""",
+        "d9_upsert": """
+            WITH base AS (
+              SELECT c_custkey AS k, 'E' || c_custkey AS entity_id,
+                     lower(c_name) AS name_norm
+              FROM customer
+            ),
+            unioned AS (
+              SELECT entity_id, name_norm, 0.5 AS confidence, 0 AS _src
+              FROM base WHERE k % 2 = 0
+              UNION ALL
+              SELECT 'B' || k, name_norm, 0.9, 1 FROM base WHERE k % 3 = 0
+            )
+            SELECT min_by(entity_id, _src) AS entity_id, name_norm,
+                   max(confidence)::DOUBLE AS confidence,
+                   count(*)::BIGINT AS n_mentions
+            FROM unioned GROUP BY name_norm""",
         "kg_chunks": r"""
             WITH w AS (
               SELECT doc_id,

@@ -1,0 +1,235 @@
+"""Read-side query filters, incremental upserts, graph merging, reports
+(SURVEY.md F1-F3, D9, D10, A10, A13, A14, G8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------- F1-F3 query
+
+def query_entities(
+    nodes: DataFrame,
+    entity_type: str | None = None,
+    name_contains: str | None = None,
+    min_confidence: float | None = None,
+    limit: int = 100,
+) -> DataFrame:
+    """F1 (json_storage.py:151-188): type eq + name substring +
+    min-confidence + limit. Pure filters — pushed into the scan."""
+    df = nodes
+    if entity_type is not None:
+        df = df.where(F.col("entity_type") == entity_type)
+    if name_contains is not None:
+        df = df.where(F.instr(F.lower("name"), name_contains.lower()) > 0)
+    if min_confidence is not None:
+        df = df.where(F.col("confidence") >= min_confidence)
+    return df.orderBy("entity_id").limit(limit)
+
+
+def query_relations(
+    edges: DataFrame,
+    head_id: str | None = None,
+    tail_id: str | None = None,
+    pred: str | None = None,
+) -> DataFrame:
+    """F2 (json_storage.py:190-228): FK-column equality filters."""
+    df = edges
+    if head_id is not None:
+        df = df.where(F.col("head_id") == head_id)
+    if tail_id is not None:
+        df = df.where(F.col("tail_id") == tail_id)
+    if pred is not None:
+        df = df.where(F.col("pred") == pred)
+    return df
+
+
+def query_chunks(
+    chunks: DataFrame,
+    chunk_type: str | None = None,
+    source: str | None = None,
+    contains_entity: str | None = None,
+    entity_links: DataFrame | None = None,
+) -> DataFrame:
+    """F3 (json_storage.py:490-688): type/source filters + entity-link
+    membership via semi-join (the reference's set-membership arrays)."""
+    df = chunks
+    if chunk_type is not None:
+        df = df.where(F.col("chunk_type") == chunk_type)
+    if source is not None and "source" in df.columns:
+        df = df.where(F.col("source") == source)
+    if contains_entity is not None and entity_links is not None:
+        hit = entity_links.where(F.col("name_norm") == contains_entity).select("chunk_id")
+        df = df.join(hit, "chunk_id", "left_semi")
+    return df
+
+
+# ---------------------------------------------------------- D9 incremental
+
+def upsert_nodes(existing: DataFrame, batch: DataFrame) -> DataFrame:
+    """D9 (llm_builders.py:616-649): new entities matched against the
+    existing graph by name_norm — matches merge (max confidence, union
+    aliases, sum mentions), misses insert. Parquet expression of
+    ``MERGE INTO nodes USING batch ON name_norm``; with an Iceberg catalog
+    the same statement runs natively."""
+    all_rows = existing.withColumn("_src", F.lit(0)).unionByName(
+        batch.withColumn("_src", F.lit(1)), allowMissingColumns=True
+    )
+    return (
+        all_rows.groupBy("name_norm")
+        .agg(
+            F.min_by(F.struct("entity_id", "name", "entity_type"), "_src").alias("keep"),
+            F.max("confidence").alias("confidence"),
+            F.array_distinct(
+                F.flatten(F.collect_list(F.coalesce("aliases", F.array())))
+            ).alias("aliases"),
+            F.sum(F.coalesce("n_mentions", F.lit(1))).alias("n_mentions"),
+        )
+        .select(
+            F.col("keep.entity_id").alias("entity_id"),
+            F.col("keep.name").alias("name"),
+            "name_norm",
+            F.col("keep.entity_type").alias("entity_type"),
+            "confidence",
+            "aliases",
+            "n_mentions",
+        )
+    )
+
+
+def remove_conversations(table: DataFrame, conv_ids: list[str]) -> DataFrame:
+    """F6 lineage removal: DELETE WHERE conv_id IN (...) — anti-join on the
+    lineage column (Iceberg: a real DELETE; parquet: partition rewrite)."""
+    return table.where(~F.col("conv_id").isin(conv_ids))
+
+
+# ------------------------------------------------------------ D10 merging
+
+def merge_graphs(
+    nodes_list: list[DataFrame], edges_list: list[DataFrame]
+) -> tuple[DataFrame, DataFrame]:
+    """D10 (mixins.py:42-96): concat N graphs, align entities by normalized
+    name, repoint edge FKs to the surviving id, drop edges whose endpoints
+    vanished."""
+    from functools import reduce
+
+    from .integrity import enforce_referential_integrity
+
+    nodes = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), nodes_list)
+    edges = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), edges_list)
+    # survivor per name_norm = min entity_id (deterministic)
+    survivor = nodes.groupBy("name_norm").agg(F.min("entity_id").alias("canonical_id"))
+    mapping = (
+        nodes.join(survivor, "name_norm")
+        .where(F.col("entity_id") != F.col("canonical_id"))
+        .select("entity_id", "canonical_id")
+    )
+    from .linking import merge_nodes, repoint_edges
+
+    merged_nodes = merge_nodes(nodes, mapping)
+    merged_edges = repoint_edges(edges, mapping).dropDuplicates(
+        ["head_id", "tail_id", "pred"]
+    )
+    return merged_nodes, enforce_referential_integrity(merged_nodes, merged_edges)
+
+
+# -------------------------------------------------------------- A10 paths
+
+def all_paths(
+    edges: DataFrame, start_id: str, end_id: str, max_depth: int = 3
+) -> DataFrame:
+    """A10 (graph_path_finder.py:105-155): every simple directed path
+    start->end up to max_depth, as (path array, depth). Bounded self-join
+    expansion with an array-membership cycle guard."""
+    adj = edges.select(F.col("head_id").alias("src"), F.col("tail_id").alias("dst")).distinct()
+    spark = edges.sparkSession
+    frontier = spark.createDataFrame([(start_id, [start_id])], "node string, path array<string>")
+    found = None
+    for _ in range(max_depth):
+        stepped = (
+            frontier.join(adj, frontier["node"] == adj["src"])
+            .where(~F.array_contains("path", F.col("dst")))
+            .select(F.col("dst").alias("node"), F.concat("path", F.array("dst")).alias("path"))
+            .localCheckpoint()
+        )
+        hits = stepped.where(F.col("node") == end_id).select(
+            "path", (F.size("path") - 1).alias("depth")
+        )
+        found = hits if found is None else found.unionByName(hits)
+        frontier = stepped.where(F.col("node") != end_id)
+        if frontier.limit(1).count() == 0:
+            break
+    return found if found is not None else spark.createDataFrame([], "path array<string>, depth int")
+
+
+# -------------------------------------------------- A13/A14/G8 reports etc
+
+def chunk_similarity(chunks_links: DataFrame) -> DataFrame:
+    """A14 (text.py:277-297): 0.6*entity-Jaccard + 0.4*relation-Jaccard of
+    linked-id sets per chunk pair (pairs blocked on sharing >= 1 entity)."""
+    a, b = chunks_links.alias("a"), chunks_links.alias("b")
+    inter_e = F.size(F.array_intersect(F.col("a.entity_ids"), F.col("b.entity_ids")))
+    union_e = F.size(F.array_union(F.col("a.entity_ids"), F.col("b.entity_ids")))
+    inter_r = F.size(F.array_intersect(F.col("a.relation_ids"), F.col("b.relation_ids")))
+    union_r = F.size(F.array_union(F.col("a.relation_ids"), F.col("b.relation_ids")))
+    ej = F.when(union_e > 0, inter_e / union_e).otherwise(0.0)
+    rj = F.when(union_r > 0, inter_r / union_r).otherwise(0.0)
+    return (
+        a.join(b, F.col("a.chunk_id") < F.col("b.chunk_id"))
+        .where(inter_e > 0)
+        .select(
+            F.col("a.chunk_id").alias("chunk_a"),
+            F.col("b.chunk_id").alias("chunk_b"),
+            F.round(0.6 * ej + 0.4 * rj, 6).alias("similarity"),
+        )
+    )
+
+
+def graph_summary(nodes: DataFrame, edges: DataFrame) -> str:
+    """A13 (utils.py:469-521): formatted text over collected aggregates —
+    driver-side presentation of distributed counts."""
+    n = nodes.count()
+    e = edges.count()
+    by_type = dict(
+        nodes.groupBy("entity_type").count().orderBy(F.desc("count")).limit(5)
+        .rdd.map(lambda r: (r.entity_type, r["count"])).collect()
+    )
+    by_pred = dict(
+        edges.groupBy("pred").count().orderBy(F.desc("count")).limit(5)
+        .rdd.map(lambda r: (r.pred, r["count"])).collect()
+    )
+    lines = [
+        "Knowledge Graph Summary",
+        f"  entities: {n}",
+        f"  relations: {e}",
+        f"  density: {e / (n * (n - 1)) if n > 1 else 0.0:.6f}",
+        "  top entity types: " + ", ".join(f"{k}={v}" for k, v in by_type.items()),
+        "  top relation types: " + ", ".join(f"{k}={v}" for k, v in by_pred.items()),
+    ]
+    return "\n".join(lines)
+
+
+def recommendations(nodes: DataFrame, edges: DataFrame) -> list[str]:
+    """G8 (graph_validator.py:385-423): rule-based strings from issue
+    counts + the entity/relation ratio bands (0.1 / 10)."""
+    from .integrity import dangling_edges, duplicate_name_type, self_loops
+
+    recs = []
+    n = max(nodes.count(), 1)
+    e = edges.count()
+    ratio = e / n
+    if ratio < 0.1:
+        recs.append("Graph is sparse: consider extracting more relations or lowering confidence thresholds")
+    if ratio > 10:
+        recs.append("Graph is dense: consider raising relation confidence thresholds or pruning related_to edges")
+    if dangling_edges(nodes, edges).limit(1).count() > 0:
+        recs.append("Dangling relations found: run referential integrity enforcement")
+    if duplicate_name_type(nodes).limit(1).count() > 0:
+        recs.append("Duplicate (name, type) entities found: run entity linking / auto-merge")
+    if self_loops(edges).limit(1).count() > 0:
+        recs.append("Self-loop relations found: review extraction validation rules")
+    if not recs:
+        recs.append("Graph structure looks healthy")
+    return recs

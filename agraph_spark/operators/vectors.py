@@ -101,6 +101,59 @@ def ann_topk_lsh(
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
+def ivf_index(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF scale path: coarse k-means centroids (fit on the data via
+    pyspark.ml, sample-friendly), every vector assigned to its nearest
+    centroid. At 100 TB the centroid id is the partition key: a query
+    probes 1-few partitions instead of the corpus. Returns (assigned_df
+    with 'centroid' column, centroid list)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = embeddings.withColumn("_v", array_to_vector(F.col(vec_col).cast("array<double>")))
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="_v", predictionCol="centroid")
+    model = km.fit(feat)
+    assigned = model.transform(feat).drop("_v")
+    centroids = [
+        (c.toArray() if hasattr(c, "toArray") else c).tolist()
+        for c in model.clusterCenters()
+    ]
+    _ = vector_to_array  # imported for parity with the write path
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the n_probe nearest centroids' partitions, exact cosine rerank
+    inside them. Driver picks probe ids (centroid count is tiny); the scan
+    prunes on the centroid column."""
+    import numpy as np
+
+    c = np.asarray(centroids, dtype=float)
+    q = np.asarray(query_vec, dtype=float)
+    dists = ((c - q) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(dists)[:n_probe]]
+    spark = assigned.sparkSession
+    qdf = spark.createDataFrame([(query_vec,)], f"query_vec array<double>")
+    cand = assigned.where(F.col("centroid").isin(probes))
+    scored = cand.crossJoin(F.broadcast(qdf)).withColumn(
+        "score", cosine(F.col(vec_col).cast("array<double>"), F.col("query_vec"))
+    ).drop("query_vec")
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
 def render_entity_text(nodes: DataFrame) -> DataFrame:
     """V1: text rendering for embedding — name + description + aliases
     (graph_embedding.py:529-547) as one concat_ws expression."""

@@ -1,0 +1,124 @@
+"""F1-F3 filters, D9 upsert, D10 merge, A10 paths, A14 chunk similarity,
+A13/G8 reports, IVF ANN."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from agraph_spark.operators.graph_queries import (
+    all_paths,
+    chunk_similarity,
+    graph_summary,
+    merge_graphs,
+    query_entities,
+    query_relations,
+    recommendations,
+    remove_conversations,
+    upsert_nodes,
+)
+from agraph_spark.operators.vectors import ivf_index, ivf_topk, topk_similar
+
+NODES_SCHEMA = ("entity_id string, name string, name_norm string, entity_type string, "
+                "confidence double, aliases array<string>, n_mentions long")
+
+
+def _nodes(spark, rows):
+    return spark.createDataFrame(rows, NODES_SCHEMA)
+
+
+def test_query_filters(spark):
+    nodes = _nodes(spark, [
+        ("e1", "Acme Corp", "acme corp", "organization", 0.9, [], 1),
+        ("e2", "Paris", "paris", "location", 0.4, [], 1),
+        ("e3", "Acme Labs", "acme labs", "organization", 0.6, [], 1),
+    ])
+    got = {r.entity_id for r in query_entities(nodes, entity_type="organization",
+                                               name_contains="acme", min_confidence=0.7).collect()}
+    assert got == {"e1"}
+    edges = spark.createDataFrame(
+        [("x1", "e1", "e2", "belongs_to", 0.7), ("x2", "e3", "e2", "belongs_to", 0.7)],
+        "edge_id string, head_id string, tail_id string, pred string, confidence double")
+    assert query_relations(edges, head_id="e1").count() == 1
+    assert query_relations(edges, pred="belongs_to").count() == 2
+
+
+def test_upsert_merges_and_inserts(spark):
+    existing = _nodes(spark, [("e1", "Acme", "acme", "organization", 0.6, ["acme inc"], 3)])
+    batch = _nodes(spark, [
+        ("e9", "ACME", "acme", "organization", 0.9, ["acme corp"], 2),
+        ("e2", "Paris", "paris", "location", 0.8, [], 1),
+    ])
+    out = {r.name_norm: r for r in upsert_nodes(existing, batch).collect()}
+    assert len(out) == 2
+    acme = out["acme"]
+    assert acme.entity_id == "e1"            # existing id wins
+    assert acme.confidence == 0.9            # max confidence
+    assert sorted(acme.aliases) == ["acme corp", "acme inc"]
+    assert acme.n_mentions == 5
+    assert out["paris"].entity_id == "e2"    # fresh insert
+
+
+def test_merge_graphs_repoints_and_drops_dangling(spark):
+    n1 = _nodes(spark, [("a1", "X", "x", "concept", 0.5, [], 1)])
+    n2 = _nodes(spark, [("b1", "X", "x", "concept", 0.7, [], 1),
+                        ("b2", "Y", "y", "concept", 0.5, [], 1)])
+    e1 = spark.createDataFrame([("r1", "a1", "zz", "related_to", 0.5)],
+        "edge_id string, head_id string, tail_id string, pred string, confidence double")
+    e2 = spark.createDataFrame([("r2", "b1", "b2", "related_to", 0.5)], e1.schema)
+    nodes, edges = merge_graphs([n1, n2], [e1, e2])
+    assert nodes.count() == 2  # x-aligned
+    rows = edges.collect()
+    assert len(rows) == 1  # dangling zz edge dropped
+    assert (rows[0].head_id, rows[0].tail_id) == ("a1", "b2")  # repointed to survivor a1
+
+
+def test_all_paths_bounded(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "a")],
+        "head_id string, tail_id string")
+    paths = {tuple(r.path) for r in all_paths(edges, "a", "c", max_depth=3).collect()}
+    assert paths == {("a", "c"), ("a", "b", "c")}
+
+
+def test_chunk_similarity(spark):
+    links = spark.createDataFrame(
+        [("c1", ["e1", "e2"], ["r1"]), ("c2", ["e2", "e3"], ["r1", "r2"]), ("c3", ["e9"], [])],
+        "chunk_id string, entity_ids array<string>, relation_ids array<string>")
+    out = {(r.chunk_a, r.chunk_b): r.similarity for r in chunk_similarity(links).collect()}
+    # e-jaccard(c1,c2)=1/3, r-jaccard=1/2 -> 0.6/3 + 0.2 = 0.4
+    assert list(out) == [("c1", "c2")]
+    assert abs(out[("c1", "c2")] - 0.4) < 1e-6
+
+
+def test_remove_conversations(spark):
+    t = spark.createDataFrame([("c1", "x"), ("c2", "y")], "conv_id string, v string")
+    assert remove_conversations(t, ["c1"]).collect()[0].conv_id == "c2"
+
+
+def test_summary_and_recommendations(spark):
+    nodes = _nodes(spark, [("e1", "A", "a", "concept", 0.9, [], 1),
+                           ("e2", "B", "b", "concept", 0.9, [], 1)])
+    edges = spark.createDataFrame([("r1", "e1", "e2", "related_to", 0.7)],
+        "edge_id string, head_id string, tail_id string, pred string, confidence double")
+    s = graph_summary(nodes, edges)
+    assert "entities: 2" in s and "related_to=1" in s
+    recs = recommendations(nodes, edges)
+    assert any("healthy" in r or "sparse" in r for r in recs)
+
+
+def test_ivf_matches_bruteforce_topk(spark):
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((300, 8)).astype("float32")
+    df = spark.createDataFrame([(i, v.tolist()) for i, v in enumerate(vecs)],
+                               "vec_id long, embedding array<float>")
+    assigned, centroids = ivf_index(df, n_centroids=6)
+    q = vecs[5].tolist()
+    ivf = [r.vec_id for r in ivf_topk(assigned, centroids, q, k=3, n_probe=6).collect()]
+    qdf = spark.createDataFrame([(q,)], "query_vec array<float>")
+    brute = [r.vec_id for r in topk_similar(df, qdf, k=3).collect()]
+    # with n_probe = all centroids IVF is exact
+    assert ivf == brute
+    # pruned probe still finds the query vector itself
+    ivf1 = [r.vec_id for r in ivf_topk(assigned, centroids, q, k=1, n_probe=1).collect()]
+    assert ivf1 == [5]

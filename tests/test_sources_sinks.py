@@ -1,0 +1,151 @@
+"""Multimodal plumbing, DB-schema source, exports, salting."""
+
+from __future__ import annotations
+
+import json
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from agraph_spark.io import (
+    export_cytoscape,
+    export_d3,
+    export_graphml,
+    import_graphml,
+    read_documents,
+    read_graph,
+    write_graph,
+)
+from agraph_spark.operators.db_schema import (
+    catalog_from_dict,
+    clean_table_name,
+    extract_db_entities,
+    extract_db_relations,
+)
+from agraph_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    decode_image,
+    extract_media_features,
+    fake_decoder,
+    media_stats,
+    sample_video_frames,
+)
+from agraph_spark.operators.salting import salted_collect_set, salted_count
+
+SCHEMA_DICT = {
+    "database_name": "shopdb",
+    "tables": [
+        {"name": "tbl_users", "columns": [
+            {"name": "id", "primary_key": True},
+            {"name": "email", "type": "varchar"},
+        ]},
+        {"name": "tb_user_orders", "columns": [
+            {"name": "id"},
+            {"name": "user_id", "foreign_key": {"table": "tbl_users", "column": "id"}},
+        ]},
+        {"name": "orders_archive", "columns": [{"name": "payload", "type": "json"}]},
+    ],
+}
+
+
+def test_db_schema_entities_and_relations(spark):
+    cat = catalog_from_dict(spark, SCHEMA_DICT)
+    ents = extract_db_entities(cat)
+    by_type = {}
+    for r in ents.collect():
+        by_type.setdefault(r.entity_type, set()).add(r.name)
+    assert by_type["database"] == {"shopdb"}
+    assert by_type["table"] == {"tbl_users", "tb_user_orders", "orders_archive"}
+    # common columns (id) skipped; qualified names for the rest
+    assert by_type["column"] == {"tbl_users.email", "tb_user_orders.user_id",
+                                 "orders_archive.payload"}
+    # business concepts from cleaned names: users->User, user_orders->User+Order
+    assert "User Management" in by_type["concept"]
+    assert "Order Management" in by_type["concept"]
+
+    rels = extract_db_relations(cat)
+    triples = {(r.head_name, r.pred, r.tail_name) for r in rels.collect()}
+    assert ("shopdb", "contains", "tbl_users") in triples
+    assert ("tbl_users", "contains", "tbl_users.email") in triples
+    assert ("tb_user_orders.user_id", "foreign_key", "tbl_users.id") in triples
+
+
+def test_clean_table_name_first_prefix_only(spark):
+    df = spark.createDataFrame(
+        [("tbl_users",), ("tb_x",), ("t_y",), ("plain",), ("TBL_UP",)], "n string"
+    )
+    got = [r.c for r in df.select(clean_table_name(F.col("n")).alias("c")).collect()]
+    assert got == ["users", "x", "y", "plain", "up"]
+
+
+def test_multimodal_features_and_sampling(spark):
+    rows = [
+        ("m1", 1, "image/png", 64, 64, None, b"\x89PNGfake1"),
+        ("m2", 1, "image/png", 32, 32, None, b"\x89PNGfake2"),
+        ("v1", 2, "video/mp4", 640, 480, 3500, b"\x00\x00ftypfake"),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_media_features(media, decoder=fake_decoder, out_dim=8)
+    got = {r.media_id: r.feature for r in feats.collect()}
+    assert set(got) == {"m1", "m2", "v1"}
+    assert len(got["m1"]) == 8
+    # deterministic: same bytes -> same features on recompute
+    again = {r.media_id: r.feature for r in
+             extract_media_features(media.repartition(3), decoder=fake_decoder, out_dim=8).collect()}
+    assert got == again
+    # real decoder is a declared stub
+    with pytest.raises(NotImplementedError):
+        decode_image(b"x")
+
+    frames = sample_video_frames(media, every_ms=1000).collect()
+    assert [r.frame_ts_ms for r in frames] == [0, 1000, 2000]
+    stats = {r.mime: r.n for r in media_stats(media).collect()}
+    assert stats == {"image/png": 2, "video/mp4": 1}
+
+
+def test_graph_store_and_exports(spark):
+    nodes = spark.createDataFrame(
+        [("e1", "Acme & Co", "organization", 0.9), ("e2", "Paris", "location", 0.8)],
+        "entity_id string, name string, entity_type string, confidence double",
+    )
+    edges = spark.createDataFrame(
+        [("x1", "e1", "e2", "belongs_to", 0.7)],
+        "edge_id string, head_id string, tail_id string, pred string, confidence double",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        write_graph(nodes, edges, d)
+        back = read_graph(spark, d)
+        assert back["nodes"].count() == 2 and back["edges"].count() == 1
+
+    xml = export_graphml(nodes, edges)
+    assert "Acme &amp; Co" in xml  # escaping
+    n2, e2 = import_graphml(spark, xml)
+    assert {r.name for r in n2.collect()} == {"Acme & Co", "Paris"}
+    assert e2.first().pred == "belongs_to"
+
+    cy = json.loads(export_cytoscape(nodes, edges))
+    assert len(cy["elements"]) == 3
+    d3 = json.loads(export_d3(nodes, edges))
+    assert len(d3["nodes"]) == 2 and d3["links"][0]["type"] == "belongs_to"
+
+
+def test_read_documents_dispatch(spark, tmp_path):
+    p = tmp_path / "a.md"
+    p.write_text("hello world doc")
+    docs = read_documents(spark, str(p))
+    assert docs.first().text == "hello world doc"
+    with pytest.raises(NotImplementedError, match="pdf"):
+        read_documents(spark, "/nonexistent/x.pdf")
+
+
+def test_salted_aggregations(spark):
+    rows = [("hot", f"v{i % 7}", f"id{i}") for i in range(1000)] + [
+        ("cold", "v0", "idc")
+    ]
+    df = spark.createDataFrame(rows, "key string, value string, ident string")
+    cnt = {r.key: r.cnt for r in salted_count(df, "key", "ident").collect()}
+    assert cnt == {"hot": 1000, "cold": 1}
+    sets = {r.key: sorted(r["values"]) for r in
+            salted_collect_set(df, "key", "value", "ident").collect()}
+    assert sets["hot"] == [f"v{i}" for i in range(7)]
