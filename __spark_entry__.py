@@ -762,8 +762,8 @@ def oracle_sql() -> dict[str, str]:
               ON a.doc_id = b.doc_id AND a.sent_idx = b.sent_idx AND a.ent < b.ent""",
         "txt_tokens": r"""
             SELECT doc_id,
-                   (CASE WHEN length(trim(text)) = 0 THEN 0
-                         ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT AS n_tokens,
+                   (CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+                         ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END)::BIGINT AS n_tokens,
                    (len(regexp_extract_all(text, '[A-Za-z]+(?:''[A-Za-z]+)?'))
                     + len(regexp_extract_all(text, '\d+'))
                     + len(regexp_extract_all(text, '[一-鿿]')))::BIGINT AS n_word_tokens
@@ -775,7 +775,7 @@ def oracle_sql() -> dict[str, str]:
                      length(text) AS n_chars,
                      len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
                      len(regexp_extract_all(text, '[A-Z]')) AS n_upper,
-                     CASE WHEN length(trim(text)) = 0 THEN 0
+                     CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
                           ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
               FROM documents
             ),
@@ -809,17 +809,17 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'other' END AS lang
             FROM documents""",
         "txt_fingerprint": r"""
-            SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+            SELECT doc_id, md5(lower(regexp_replace(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g'))) AS fp
             FROM documents""",
         "dd_exact": r"""
-            SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+            SELECT md5(lower(regexp_replace(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g'))) AS fp,
                    count(*)::BIGINT AS cnt, min(doc_id) AS keeper_id
             FROM documents GROUP BY 1 HAVING count(*) > 1""",
         "dd_ngram_jaccard": r"""
             WITH toks AS (
               SELECT doc_id AS doc,
-                     unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w,
-                     generate_subscripts(regexp_split_to_array(lower(trim(text)), '\s+'), 1) AS i
+                     unnest(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) AS w,
+                     generate_subscripts(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+'), 1) AS i
               FROM documents
             ),
             sh AS (
@@ -906,8 +906,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_chunks": r"""
             WITH w AS (
               SELECT doc_id,
-                     CASE WHEN length(trim(text)) = 0 THEN 0
-                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words
+                     CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n_words
               FROM documents
             )
             SELECT doc_id,

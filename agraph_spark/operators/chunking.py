@@ -38,8 +38,11 @@ def chunk_documents(
     size_w = max(1, int(chunk_size * WORDS_PER_TOKEN))
     step_w = max(1, size_w - int(overlap * WORDS_PER_TOKEN))
 
-    words = F.split(F.trim(F.col("text")), r"\s+")
-    n_words = F.when(F.length(F.trim(F.col("text"))) == 0, 0).otherwise(F.size(words))
+    from .textstats import pystrip
+
+    stripped = pystrip(F.col("text"))
+    words = F.split(stripped, r"(?U)\s+")
+    n_words = F.when(F.length(stripped) == 0, 0).otherwise(F.size(words))
     n_chunks = F.when(n_words <= size_w, F.lit(1)).otherwise(
         F.ceil((n_words - size_w) / F.lit(step_w)) + 1
     )

@@ -34,7 +34,9 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 def word_shingles(text: F.Column, n: int = 3) -> F.Column:
     """Distinct word n-gram shingles of lower(text)."""
-    words = F.split(F.lower(F.trim(text)), r"\s+")
+    from .textstats import pystrip
+
+    words = F.split(F.lower(pystrip(text)), r"(?U)\s+")
     return F.array_distinct(
         F.when(
             F.size(words) >= n,

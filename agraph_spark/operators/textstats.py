@@ -12,6 +12,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _WS = r"\s+"
+_PYSTRIP = r"(?U)^\s+|\s+$"
+
+
+def pystrip(col: Column) -> Column:
+    """Python str.strip() semantics (all unicode whitespace, both ends) —
+    Spark's trim() removes ASCII spaces only."""
+    return F.regexp_replace(col, _PYSTRIP, "")
 _CJK = r"[一-鿿]"
 _LATIN_WORD = r"[A-Za-z]+(?:'[A-Za-z]+)?"
 _PUNCT = r"[\\.,;:!\\?\\(\\)\\[\\]\\{\\}\"'`~@#$%^&*_+=<>/\\\\|-]"
@@ -24,7 +31,7 @@ EN_STOPWORDS = [
 
 def token_count(text: Column) -> Column:
     """Whitespace-delimited token count (0 for empty/blank)."""
-    t = F.trim(text)
+    t = pystrip(text)
     return F.when(F.length(t) == 0, F.lit(0)).otherwise(
         F.size(F.split(t, _WS))
     )
@@ -102,4 +109,4 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def fingerprint(text: Column) -> Column:
     """Whitespace-normalized md5 document fingerprint (exact-dedup key)."""
-    return F.md5(F.lower(F.regexp_replace(F.trim(text), _WS, " ")))
+    return F.md5(F.lower(F.regexp_replace(pystrip(text), r"(?U)\s+", " ")))

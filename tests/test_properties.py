@@ -1,0 +1,82 @@
+"""Property-based invariants (hypothesis) for the pure column-expression
+operators — driven through one Spark job per property by collecting
+generated examples into a single DataFrame."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from agraph_spark.operators.chunking import chunk_documents
+from agraph_spark.operators.textstats import fingerprint, lang_id, token_count
+
+TEXTS = st.text(
+    alphabet=st.sampled_from(list("abc ABC.!?\n\t你好 0189'-")), min_size=0, max_size=400
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(TEXTS, min_size=1, max_size=8))
+def test_token_count_matches_python(spark, texts):
+    df = spark.createDataFrame([(str(i), t) for i, t in enumerate(texts)], "id string, text string")
+    got = {r.id: r.n for r in df.select("id", token_count(F.col("text")).alias("n")).collect()}
+    for i, t in enumerate(texts):
+        want = len(re.split(r"\s+", t.strip())) if t.strip() else 0
+        assert got[str(i)] == want, repr(t)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(TEXTS, min_size=1, max_size=6))
+def test_fingerprint_whitespace_invariant(spark, texts):
+    rows = []
+    for i, t in enumerate(texts):
+        rows.append((f"a{i}", t))
+        rows.append((f"b{i}", "  " + t.replace(" ", "   ") + "\n"))  # same after normalization
+    df = spark.createDataFrame(rows, "id string, text string")
+    fp = {r.id: r.fp for r in df.select("id", fingerprint(F.col("text")).alias("fp")).collect()}
+    for i, t in enumerate(texts):
+        if t.strip():  # blank docs all collapse anyway
+            assert fp[f"a{i}"] == fp[f"b{i}"], repr(t)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.text(alphabet=st.sampled_from(list("ab cd ")), min_size=1, max_size=2000), min_size=1, max_size=4),
+    st.integers(min_value=20, max_value=200),
+)
+def test_chunker_reconstruction_property(spark, texts, chunk_size):
+    overlap = chunk_size // 5
+    size_w = max(1, int(chunk_size * 0.75))
+    step_w = max(1, size_w - int(overlap * 0.75))
+    df = spark.createDataFrame([(str(i), t) for i, t in enumerate(texts)], "conv_id string, text string")
+    chunks = chunk_documents(df, chunk_size=chunk_size, overlap=overlap).collect()
+    by_conv = {}
+    for r in chunks:
+        by_conv.setdefault(r.conv_id, []).append(r)
+    for i, t in enumerate(texts):
+        words = t.split()
+        got = by_conv.get(str(i))
+        if not words:
+            assert got is None
+            continue
+        got = sorted(got, key=lambda r: r.chunk_idx)
+        # every chunk within size bound; strides tile; dedup-concat == original
+        assert all(len(r.content.split()) <= size_w for r in got)
+        rebuilt = got[0].content.split()
+        for r in got[1:]:
+            rebuilt += r.content.split()[size_w - step_w:]
+        assert rebuilt == words
+
+
+def test_lang_id_basic(spark):
+    df = spark.createDataFrame(
+        [("en", "the quick brown fox jumps over the lazy dog"),
+         ("zh", "苹果公司位于北京，开发人工智能技术。"),
+         ("other", "1234 5678 !!! ???")],
+        "expect string, text string",
+    )
+    rows = df.select("expect", lang_id(F.col("text")).alias("got")).collect()
+    assert all(r.expect == r.got for r in rows)
