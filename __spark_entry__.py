@@ -38,8 +38,34 @@ from agraph_spark.tpch_graph import GRAPH_SQL_CTE, build_graph
 
 _SW = ", ".join(f"'{w}'" for w in P.STOPWORDS)
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_SHIPPED: set[int] = set()
+
+
+def _ensure_workers(spark: SparkSession) -> None:
+    """Make agraph_spark importable on executors regardless of how the
+    caller built its SparkSession (driver cwd / PYTHONPATH unknown):
+    ship the package zip via addPyFile once per context."""
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED:
+        return
+    zip_path = os.path.join(_REPO, "dist", "agraph_spark.zip")
+    try:
+        import sys as _sys
+
+        _sys.path.insert(0, os.path.join(_REPO, "scripts"))
+        from make_pyfiles_zip import main as _mkzip
+
+        zip_path = _mkzip()
+    except Exception:
+        pass
+    if os.path.exists(zip_path):
+        sc.addPyFile(zip_path)
+    _SHIPPED.add(id(sc))
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_workers(spark)
     return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         F.col("doc_id").cast("string").alias("conv_id"), "text", "doc_id"
     )
@@ -56,6 +82,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG extraction over sf0.001 documents -> triple counts
     by predicate."""
+    _ensure_workers(spark)
     docs = _docs(spark, "/root/testdata/sf0.001").select("conv_id", "text")
     triples = build_triples_from_texts(docs)
     return triples.groupBy("pred").agg(

@@ -19,9 +19,8 @@ def main() -> str:
                 if f.endswith(".py"):
                     full = os.path.join(root, f)
                     z.write(full, os.path.relpath(full, REPO))
-    print(out)
     return out
 
 
 if __name__ == "__main__":
-    main()
+    print(main())
