@@ -56,6 +56,8 @@ def lsh_candidate_pairs(
     max_jaccard_distance: float = 0.6,
     ngram: int = 3,
     vocab_features: int = 1 << 18,
+    max_name_len: int = 32,
+    max_name_words: int = 4,
 ) -> DataFrame:
     """D3 blocking via MinHash-LSH over name character 3-gram sets,
     restricted to same entity_type. Returns (id_a, id_b, name_a, name_b,
@@ -64,10 +66,21 @@ def lsh_candidate_pairs(
     Uses pyspark.ml MinHashLSH: names -> char 3-gram tokens -> binary
     HashingTF vectors -> approxSimilarityJoin. The join shuffles on LSH
     bucket keys — hot buckets (very common name shapes) are the skew risk;
-    AQE skew-join splitting is on in the session defaults."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH, RegexTokenizer
+    AQE skew-join splitting is on in the session defaults.
 
-    prepared = nodes.select(
+    The linkable universe is bounded to plausible entity surface forms
+    (<= max_name_len chars, <= max_name_words words): extraction debris
+    (whole captured clauses) shares sentence structure, floods LSH buckets
+    quadratically, and is never a meaningful merge target. Measured: an
+    unbounded self-join over a 150k-conversation node set ran minutes-to-
+    hours; bounded, seconds. (The reference bounds the same work with its
+    max_merges=100 cap, entity_merger.py:296.)"""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    prepared = nodes.where(
+        (F.length("name_norm") <= max_name_len)
+        & (F.size(F.split(F.col("name_norm"), r"\s+")) <= max_name_words)
+    ).select(
         "entity_id", "name_norm", "entity_type",
         F.concat(F.lit("^^"), F.col("name_norm"), F.lit("$$")).alias("padded"),
     ).withColumn(

@@ -16,7 +16,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
+
+# running as a plain script (no spark-submit --py-files): make the repo
+# package importable driver-side; session.py handles worker PYTHONPATH
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
