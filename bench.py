@@ -58,6 +58,11 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         return out
 
+    # steady-state warmup: spin up python workers / JIT before timing
+    build_kg(
+        transcripts_df(spark, n_convs=200, seed=1), cache_documents=False
+    ).triples.count()
+
     # headline: full KG construction over synthetic multi-turn transcripts
     tdf = transcripts_df(spark, n_convs=n_convs, seed=42).persist()
     n_turns = tdf.count()
