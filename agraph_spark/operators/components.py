@@ -52,17 +52,15 @@ def connected_components(
             .groupBy(F.col("a").alias("entity_id"))
             .agg(F.min("component").alias("nb_component"))
         )
-        stepped = (
-            labels.join(nb_min, "entity_id", "left")
-            .select(
-                "entity_id",
-                F.least(
-                    F.col("component"), F.coalesce("nb_component", "component")
-                ).alias("component"),
-            )
+        stepped = labels.join(nb_min, "entity_id", "left").select(
+            "entity_id",
+            F.least(
+                F.col("component"), F.coalesce("nb_component", "component")
+            ).alias("component"),
         )
-        # pointer jumping: follow component -> its component (halves chains)
-        jump = labels.select(
+        # pointer jumping on the FRESH labels (component -> its new
+        # component): halves chain lengths using this round's progress
+        jump = stepped.select(
             F.col("entity_id").alias("component"), F.col("component").alias("jumped")
         )
         new_labels = (
