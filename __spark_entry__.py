@@ -328,6 +328,40 @@ def q_dd_simhash(spark, sf_dir):
     return DD.simhash_near_pairs(d, max_hamming=8)
 
 
+def q_dd_exact_dup(spark, sf_dir):
+    """Exact dedup exercised on a corpus with guaranteed duplicates (each
+    doc unioned once under a shifted id)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dup = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    return DD.exact_dup_groups(d.unionByName(dup))
+
+
+def q_ev_window(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts").cast("timestamp")).cast("timestamp_ntz").alias("hour"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def q_tpch_join3(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+    )
+
+
 # ----------------------------------------------------------------- vectors
 
 def q_v_cosine(spark, sf_dir):
@@ -579,6 +613,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_langid": q_txt_langid,
         "txt_fingerprint": q_txt_fingerprint,
         "dd_exact": q_dd_exact,
+        "dd_exact_dup": q_dd_exact_dup,
+        "ev_window": q_ev_window,
+        "tpch_join3": q_tpch_join3,
         "dd_ngram_jaccard": q_dd_ngram_jaccard,
         "dd_minhash": q_dd_minhash,
         "dd_simhash": q_dd_simhash,
@@ -869,6 +906,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON inter.doc_a = sa.doc
             JOIN sizes sb ON inter.doc_b = sb.doc
             WHERE inter / (sa.sz + sb.sz - inter)::DOUBLE >= 0.2""",
+        "dd_exact_dup": r"""
+            WITH u AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + 1000000, text FROM documents
+            )
+            SELECT md5(lower(regexp_replace(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g'))) AS fp,
+                   count(*)::BIGINT AS cnt, min(doc_id) AS keeper_id
+            FROM u GROUP BY 1 HAVING count(*) > 1""",
+        "ev_window": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*)::BIGINT AS n,
+                   round(sum(value), 2)::DOUBLE AS sum_value
+            FROM events GROUP BY 1, 2""",
+        "tpch_join3": """
+            SELECT c_mktsegment, l_returnflag, count(*)::BIGINT AS n_items,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)::DOUBLE AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment, l_returnflag""",
         "v_cosine": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
             SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qv), 3)::DOUBLE AS score
