@@ -23,7 +23,11 @@ SUBSET = [
     "dd_ngram_jaccard",
     "v_cosine",
     "ev_sessionize",
+    "ev_window",
     "tpch_q1",
+    "tpch_join3",
+    "dd_exact_dup",
+    "d9_upsert",
 ]
 
 
