@@ -563,6 +563,95 @@ def q_db_schema(spark, sf_dir):
     return ents.unionByName(rels)
 
 
+def q_a14_chunk_sim(spark, sf_dir):
+    """A14 chunk similarity over deterministic link arrays derived from
+    doc_id (selective buckets: each synthetic entity links ~n/97 chunks).
+    Exercises the inverted-index equi-join plan — no cartesian anywhere."""
+    from agraph_spark.operators.graph_queries import chunk_similarity
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    links = d.select(
+        F.concat(F.lit("c"), F.col("doc_id").cast("string")).alias("chunk_id"),
+        F.array(
+            F.concat(F.lit("e"), (F.col("doc_id") % 97).cast("string")),
+            F.concat(F.lit("f"), (F.col("doc_id") % 89).cast("string")),
+        ).alias("entity_ids"),
+        F.array(
+            F.concat(F.lit("r"), (F.col("doc_id") % 7).cast("string")),
+            F.concat(F.lit("s"), (F.col("doc_id") % 11).cast("string")),
+        ).alias("relation_ids"),
+    )
+    return chunk_similarity(links)
+
+
+def q_g_hierarchical(spark, sf_dir):
+    """I3 hierarchical inference: organization parents (supplier-name
+    prefixes) containing person children (full supplier names)."""
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    prefix = F.expr("substring(s_name, 1, length(s_name) - 1)")
+    parents = s.select(
+        F.concat(F.lit("P"), prefix).alias("entity_id"),
+        prefix.alias("name"),
+        F.lit("organization").alias("entity_type"),
+    ).distinct()
+    children = s.select(
+        F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("entity_id"),
+        F.col("s_name").alias("name"),
+        F.lit("person").alias("entity_type"),
+    )
+    return I.hierarchical_inference(parents.unionByName(children))
+
+
+def q_g_low_confidence(spark, sf_dir):
+    nodes, edges = _g(spark, sf_dir)
+    return G.low_confidence(nodes, edges, threshold=0.85)
+
+
+def q_g_empty_names(spark, sf_dir):
+    nodes, _ = _g(spark, sf_dir)
+    bad = spark.createDataFrame(
+        [("X1", "  ", "blank", 0.5)],
+        "entity_id string, name string, entity_type string, confidence double",
+    )
+    return G.empty_names(nodes.unionByName(bad)).select("entity_id", "entity_type")
+
+
+def q_g_all_paths(spark, sf_dir):
+    """A10: every simple path R0 -> (min supplier in region 0), depth <= 3."""
+    from agraph_spark.operators.graph_queries import all_paths
+
+    _, edges = _g(spark, sf_dir)
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    target_key = (
+        s.join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .where(F.col("n_regionkey") == 0)
+        .agg(F.min("s_suppkey"))
+        .collect()[0][0]
+    )
+    out = all_paths(edges, "R0", f"S{target_key}", max_depth=3)
+    return out.select(F.concat_ws("->", "path").alias("path"), "depth")
+
+
+def q_v_hybrid(spark, sf_dir):
+    """V6 hybrid text+vector search over documents joined to embeddings."""
+    from agraph_spark.operators.retrieval import hybrid_search_chunks
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    e = _emb(spark, sf_dir)
+    chunks = d.join(e, F.col("doc_id") == F.col("vec_id")).select(
+        F.concat(F.lit("c"), F.col("doc_id").cast("string")).alias("chunk_id"),
+        F.col("text").alias("content"),
+        F.lit(None).cast("string").alias("title"),
+        "embedding",
+    )
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("query_vec"))
+    out = hybrid_search_chunks(
+        chunks, "table join query", q, k=10, text_weight=0.25, vector_weight=0.75
+    )
+    return out.select("chunk_id", F.round("hybrid_score", 3).alias("hybrid_score"))
+
+
 def q_tpch_topk_orders(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -629,6 +718,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f1_entity_filter": q_f1_entity_filter,
         "d9_upsert": q_d9_upsert,
         "db_schema": q_db_schema,
+        "a14_chunk_sim": q_a14_chunk_sim,
+        "g_hierarchical": q_g_hierarchical,
+        "g_low_confidence": q_g_low_confidence,
+        "g_empty_names": q_g_empty_names,
+        "g_all_paths": q_g_all_paths,
+        "v_hybrid": q_v_hybrid,
         "tpch_q1": q_tpch_q1,
         "tpch_seg_month": q_tpch_seg_month,
         "tpch_topk_orders": q_tpch_topk_orders,
@@ -1006,6 +1101,110 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY o_totalprice DESC, o_orderkey ASC)::INT AS rk
             FROM orders JOIN customer ON o_custkey = c_custkey
             QUALIFY rk <= 3""",
+        "a14_chunk_sim": """
+            WITH l AS (
+              SELECT 'c' || doc_id AS chunk_id,
+                     ['e' || (doc_id % 97), 'f' || (doc_id % 89)] AS ents,
+                     ['r' || (doc_id % 7), 's' || (doc_id % 11)] AS rels
+              FROM documents
+            ),
+            ex AS (SELECT chunk_id, unnest(ents) AS e FROM l),
+            cand AS (
+              SELECT DISTINCT a.chunk_id AS chunk_a, b.chunk_id AS chunk_b
+              FROM ex a JOIN ex b ON a.e = b.e AND a.chunk_id < b.chunk_id
+            ),
+            p AS (
+              SELECT chunk_a, chunk_b, la.ents ea, lb.ents eb, la.rels ra, lb.rels rb
+              FROM cand JOIN l la ON cand.chunk_a = la.chunk_id
+                        JOIN l lb ON cand.chunk_b = lb.chunk_id
+            )
+            SELECT chunk_a, chunk_b,
+                   round(0.6 * (len(list_intersect(ea, eb)) / len(list_distinct(ea || eb))::DOUBLE)
+                       + 0.4 * (len(list_intersect(ra, rb)) / len(list_distinct(ra || rb))::DOUBLE),
+                         6)::DOUBLE AS similarity
+            FROM p""",
+        "g_hierarchical": """
+            WITH parents AS (
+              SELECT DISTINCT 'P' || substring(s_name, 1, length(s_name) - 1) AS parent_id,
+                     lower(substring(s_name, 1, length(s_name) - 1)) AS parent_name
+              FROM supplier
+            ),
+            children AS (
+              SELECT 'S' || s_suppkey AS child_id, lower(s_name) AS child_name FROM supplier
+            )
+            SELECT parent_id AS head_id, child_id AS tail_id, 'contains' AS pred,
+                   0.6::DOUBLE AS confidence, 'hierarchical_inference' AS source
+            FROM parents JOIN children ON strpos(child_name, parent_name) > 0
+            WHERE parent_id <> child_id""",
+        "g_low_confidence": _GC + """
+            SELECT entity_id AS item_id, 'entity' AS kind, confidence::DOUBLE AS confidence
+            FROM nodes WHERE confidence < 0.85
+            UNION ALL
+            SELECT pred || '|' || head_id || '|' || tail_id || '|' || source,
+                   'relation', confidence::DOUBLE
+            FROM edges WHERE confidence < 0.85""",
+        "g_empty_names": _GC + """
+            , withbad AS (
+              SELECT entity_id, name, entity_type FROM nodes
+              UNION ALL SELECT 'X1', '  ', 'blank'
+            )
+            SELECT entity_id, entity_type FROM withbad WHERE trim(name) = ''""",
+        "g_all_paths": _GC + """
+            , adj AS (SELECT DISTINCT head_id AS a, tail_id AS b FROM edges),
+            target AS (
+              SELECT 'S' || min(s_suppkey) AS t
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_regionkey = 0
+            ),
+            walk AS (
+              SELECT 'R0' AS node, ['R0'] AS path
+              UNION ALL
+              SELECT adj.b, path || [adj.b]
+              FROM walk JOIN adj ON walk.node = adj.a
+              WHERE NOT list_contains(path, adj.b)
+                AND len(path) <= 3
+                AND walk.node <> (SELECT t FROM target)
+            )
+            SELECT array_to_string(path, '->') AS path, (len(path) - 1)::INT AS depth
+            FROM walk WHERE node = (SELECT t FROM target)""",
+        "v_hybrid": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+            ch AS (
+              SELECT 'c' || doc_id AS chunk_id, text AS content, embedding::DOUBLE[] AS v
+              FROM documents JOIN embeddings ON doc_id = vec_id
+            ),
+            scored AS (
+              SELECT chunk_id,
+                     CASE WHEN strpos(lower(content), 'table join query') > 0 THEN 0.8
+                          ELSE len(list_intersect(str_split_regex(lower(content), '\\s+'),
+                                                  ['join', 'query', 'table'])) / 3.0
+                     END AS text_score,
+                     list_cosine_similarity(v, qv) AS score
+              FROM ch, q
+            ),
+            hy AS (
+              SELECT chunk_id, round(0.25 * text_score + 0.75 * score, 9) AS hybrid_score
+              FROM scored
+            )
+            SELECT chunk_id, round(hybrid_score, 3)::DOUBLE AS hybrid_score
+            FROM hy ORDER BY hybrid_score DESC, chunk_id LIMIT 10""",
+        "db_schema": """
+            SELECT * FROM (VALUES
+              ('shopdb', 'database'),
+              ('tbl_users', 'table'),
+              ('tb_orders', 'table'),
+              ('tbl_users.email', 'column'),
+              ('tb_orders.user_id', 'column'),
+              ('User Management', 'concept'),
+              ('Order Management', 'concept'),
+              ('shopdb->tbl_users', 'contains'),
+              ('shopdb->tb_orders', 'contains'),
+              ('tbl_users->tbl_users.id', 'contains'),
+              ('tbl_users->tbl_users.email', 'contains'),
+              ('tb_orders->tb_orders.id', 'contains'),
+              ('tb_orders->tb_orders.user_id', 'contains'),
+              ('tb_orders.user_id->tbl_users.id', 'foreign_key')
+            ) AS t(item, kind)""",
         "tpch_seg_month": """
             SELECT c_mktsegment, month(o_orderdate)::INT AS order_month,
                    count(*)::BIGINT AS n_orders,

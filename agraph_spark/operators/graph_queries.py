@@ -166,24 +166,63 @@ def all_paths(
 
 # -------------------------------------------------- A13/A14/G8 reports etc
 
-def chunk_similarity(chunks_links: DataFrame) -> DataFrame:
+def chunk_similarity(
+    chunks_links: DataFrame, max_entity_chunks: int | None = 10_000
+) -> DataFrame:
     """A14 (text.py:277-297): 0.6*entity-Jaccard + 0.4*relation-Jaccard of
-    linked-id sets per chunk pair (pairs blocked on sharing >= 1 entity)."""
-    a, b = chunks_links.alias("a"), chunks_links.alias("b")
-    inter_e = F.size(F.array_intersect(F.col("a.entity_ids"), F.col("b.entity_ids")))
-    union_e = F.size(F.array_union(F.col("a.entity_ids"), F.col("b.entity_ids")))
-    inter_r = F.size(F.array_intersect(F.col("a.relation_ids"), F.col("b.relation_ids")))
-    union_r = F.size(F.array_union(F.col("a.relation_ids"), F.col("b.relation_ids")))
+    linked-id sets per chunk pair, for pairs sharing >= 1 entity.
+
+    Plan: inverted-index equi-join, never all-pairs — explode entity_ids,
+    self-join on entity_id (pairs only materialize for chunks that actually
+    share an entity), then fetch both link arrays to compute the Jaccards.
+    Same shape as dedup_docs.ngram_jaccard_pairs; ``max_entity_chunks``
+    mirrors its hot-shingle cap (an entity linked to more chunks than the
+    cap is boilerplate — it would produce a quadratic pair explosion on one
+    key while contributing ~0 to any Jaccard)."""
+    links = chunks_links.select(
+        "chunk_id",
+        F.array_distinct("entity_ids").alias("entity_ids"),
+        F.array_distinct("relation_ids").alias("relation_ids"),
+    )
+    inv = links.select("chunk_id", F.explode("entity_ids").alias("entity_id"))
+    if max_entity_chunks is not None:
+        hot = (
+            inv.groupBy("entity_id")
+            .agg(F.count("*").alias("n_chunks"))
+            .where(F.col("n_chunks") > max_entity_chunks)
+            .select("entity_id")
+        )
+        inv = inv.join(hot, "entity_id", "left_anti")
+    a, b = inv.alias("a"), inv.alias("b")
+    cand = (
+        a.join(b, "entity_id")
+        .where(F.col("a.chunk_id") < F.col("b.chunk_id"))
+        .select(
+            F.col("a.chunk_id").alias("chunk_a"), F.col("b.chunk_id").alias("chunk_b")
+        )
+        .distinct()
+    )
+    la = links.select(
+        F.col("chunk_id").alias("chunk_a"),
+        F.col("entity_ids").alias("ents_a"),
+        F.col("relation_ids").alias("rels_a"),
+    )
+    lb = links.select(
+        F.col("chunk_id").alias("chunk_b"),
+        F.col("entity_ids").alias("ents_b"),
+        F.col("relation_ids").alias("rels_b"),
+    )
+    paired = cand.join(la, "chunk_a").join(lb, "chunk_b")
+    inter_e = F.size(F.array_intersect("ents_a", "ents_b"))
+    union_e = F.size(F.array_union("ents_a", "ents_b"))
+    inter_r = F.size(F.array_intersect("rels_a", "rels_b"))
+    union_r = F.size(F.array_union("rels_a", "rels_b"))
     ej = F.when(union_e > 0, inter_e / union_e).otherwise(0.0)
     rj = F.when(union_r > 0, inter_r / union_r).otherwise(0.0)
-    return (
-        a.join(b, F.col("a.chunk_id") < F.col("b.chunk_id"))
-        .where(inter_e > 0)
-        .select(
-            F.col("a.chunk_id").alias("chunk_a"),
-            F.col("b.chunk_id").alias("chunk_b"),
-            F.round(0.6 * ej + 0.4 * rj, 6).alias("similarity"),
-        )
+    return paired.select(
+        "chunk_a",
+        "chunk_b",
+        F.round(0.6 * ej + 0.4 * rj, 6).alias("similarity"),
     )
 
 
@@ -192,14 +231,14 @@ def graph_summary(nodes: DataFrame, edges: DataFrame) -> str:
     driver-side presentation of distributed counts."""
     n = nodes.count()
     e = edges.count()
-    by_type = dict(
-        nodes.groupBy("entity_type").count().orderBy(F.desc("count")).limit(5)
-        .rdd.map(lambda r: (r.entity_type, r["count"])).collect()
-    )
-    by_pred = dict(
-        edges.groupBy("pred").count().orderBy(F.desc("count")).limit(5)
-        .rdd.map(lambda r: (r.pred, r["count"])).collect()
-    )
+    by_type = {
+        r["entity_type"]: r["count"]
+        for r in nodes.groupBy("entity_type").count().orderBy(F.desc("count")).limit(5).collect()
+    }
+    by_pred = {
+        r["pred"]: r["count"]
+        for r in edges.groupBy("pred").count().orderBy(F.desc("count")).limit(5).collect()
+    }
     lines = [
         "Knowledge Graph Summary",
         f"  entities: {n}",

@@ -122,3 +122,52 @@ def test_ivf_matches_bruteforce_topk(spark):
     # pruned probe still finds the query vector itself
     ivf1 = [r.vec_id for r in ivf_topk(assigned, centroids, q, k=1, n_probe=1).collect()]
     assert ivf1 == [5]
+
+
+def test_chunk_similarity_plan_is_equi_join(spark):
+    """A14 must block on shared entities via an inverted-index equi-join:
+    no BroadcastNestedLoopJoin / CartesianProduct anywhere in the plan
+    (the round-1 inequality-only join was O(n^2) at any real chunk count)."""
+    links = spark.createDataFrame(
+        [("c1", ["e1", "e2"], ["r1"]), ("c2", ["e2", "e3"], ["r1", "r2"])],
+        "chunk_id string, entity_ids array<string>, relation_ids array<string>")
+    plan = chunk_similarity(links)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_chunk_similarity_hot_entity_cap(spark):
+    """An entity linked to more chunks than the cap is dropped from
+    candidate generation (skew guard); rare-entity pairs survive."""
+    rows = [(f"h{i:03d}", ["boiler", f"rare{i % 2}"], []) for i in range(20)]
+    links = spark.createDataFrame(
+        rows, "chunk_id string, entity_ids array<string>, relation_ids array<string>")
+    capped = chunk_similarity(links, max_entity_chunks=10).collect()
+    # 'boiler' (20 chunks > cap) is dropped; rare0/rare1 (10 chunks each) survive -> C(10,2)*2 pairs
+    assert len(capped) == 2 * 45
+    uncapped = chunk_similarity(links, max_entity_chunks=None).collect()
+    assert len(uncapped) == 190  # C(20,2): every pair shares 'boiler'
+
+
+def test_hierarchical_inference(spark):
+    from agraph_spark.operators.inference import hierarchical_inference
+
+    nodes = spark.createDataFrame(
+        [("o1", "Acme", "organization"), ("p1", "Acme Smith", "person"),
+         ("p2", "Jones", "person"), ("d1", "acme", "document")],
+        "entity_id string, name string, entity_type string")
+    got = {(r.head_id, r.tail_id, r.pred) for r in hierarchical_inference(nodes).collect()}
+    # organization->person containment only; document->concept has no concept rows
+    assert got == {("o1", "p1", "contains")}
+
+
+def test_low_confidence_and_empty_names(spark):
+    from agraph_spark.operators.integrity import empty_names, low_confidence
+
+    nodes = _nodes(spark, [("e1", "A", "a", "concept", 0.9, [], 1),
+                           ("e2", "  ", "", "concept", 0.3, [], 1)])
+    edges = spark.createDataFrame([("r1", "e1", "e2", "related_to", 0.4)],
+        "edge_id string, head_id string, tail_id string, pred string, confidence double")
+    lc = {(r.item_id, r.kind) for r in low_confidence(nodes, edges, threshold=0.5).collect()}
+    assert lc == {("e2", "entity"), ("r1", "relation")}
+    assert [r.entity_id for r in empty_names(nodes).collect()] == ["e2"]
