@@ -652,6 +652,32 @@ def q_v_hybrid(spark, sf_dir):
     return out.select("chunk_id", F.round("hybrid_score", 3).alias("hybrid_score"))
 
 
+def q_v10_chat_ctx(spark, sf_dir):
+    """V10 RAG context assembly (non-SQL: hash-stub embeddings). One row:
+    the JSON kg_context + per-namespace hit counts."""
+    from agraph_spark.operators.retrieval import chat_context
+    from agraph_spark.operators.vectors import embed_hash_stub
+
+    d = _docs(spark, sf_dir)
+    chunks = embed_hash_stub(
+        d.select(F.col("conv_id").alias("chunk_id"), F.col("text").alias("render_text")))
+    nodes = embed_hash_stub(
+        d.select(F.concat(F.lit("e"), "conv_id").alias("entity_id"),
+                 F.substring("text", 1, 40).alias("render_text")))
+    edges = embed_hash_stub(
+        d.select(F.concat(F.lit("r"), "conv_id").alias("edge_id"),
+                 F.substring("text", 20, 40).alias("render_text")))
+    q = embed_hash_stub(
+        spark.createDataFrame([("table join query",)], "render_text string")
+    ).select(F.col("embedding").alias("query_vec"))
+    out = chat_context(nodes, edges, chunks, q, k_entities=5, k_relations=5,
+                       k_chunks=5, threshold=-1.0)
+    return out.select(
+        F.length("kg_context").alias("ctx_len"),
+        "n_entities", "n_relations", "n_chunks",
+    )
+
+
 def q_tpch_topk_orders(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -668,8 +694,27 @@ def q_tpch_topk_orders(spark, sf_dir):
     )
 
 
+def _fresh(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    """Release the PREVIOUS query's tracked caches on entry (its results are
+    materialized by the time the harness asks for the next query) so a long
+    session running all queries holds at most one query's caches at a time."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from agraph_spark.caching import release_caches
+
+        release_caches(spark)
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return {k: _fresh(v) for k, v in _RAW_QUERIES.items()}
+
+
+_RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "g_degree": q_g_degree,
         "g_degree_summary": q_g_degree_summary,
         "g_type_dist": q_g_type_dist,
@@ -724,10 +769,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_empty_names": q_g_empty_names,
         "g_all_paths": q_g_all_paths,
         "v_hybrid": q_v_hybrid,
+        "v10_chat_ctx": q_v10_chat_ctx,
         "tpch_q1": q_tpch_q1,
         "tpch_seg_month": q_tpch_seg_month,
         "tpch_topk_orders": q_tpch_topk_orders,
-    }
+}
 
 
 # ---------------------------------------------------------------- oracles

@@ -27,6 +27,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .caching import track
 from .pipeline import build_kg
 
 
@@ -75,7 +76,7 @@ def run_checkpointed(
     after k completed batches (kill-and-resume tests)."""
     manifest = CheckpointManifest(out_dir)
     done = manifest.completed("triples")
-    transcripts = transcripts.withColumn("batch_id", batch_col(n_batches)).persist()
+    transcripts = track(transcripts.withColumn("batch_id", batch_col(n_batches)))
     results: list[BatchResult] = []
     completed_this_run = 0
     for b in range(n_batches):
@@ -121,7 +122,7 @@ def run_checkpointed_parallel(
     spark.sparkContext.setLocalProperty("spark.scheduler.mode", "FAIR")
     manifest = CheckpointManifest(out_dir)
     done = manifest.completed("triples")
-    transcripts = transcripts.withColumn("batch_id", batch_col(n_batches)).persist()
+    transcripts = track(transcripts.withColumn("batch_id", batch_col(n_batches)))
     transcripts.count()
 
     def work(b: int) -> BatchResult:

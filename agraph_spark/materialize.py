@@ -79,16 +79,17 @@ def materialize_graph(
     """nodes + edges with optional entity linking / canonicalization:
     D3 blocking -> D4 verify -> D5 components -> D6 repoint -> G1
     referential integrity."""
+    from .caching import track
     from .operators.integrity import enforce_referential_integrity
     from .operators.linking import link_entities, merge_nodes, repoint_edges
 
     nodes = build_nodes(entities)
     edges = build_edges(triples)
     if link:
-        nodes = nodes.persist()
-        mapping = link_entities(nodes, alias_dict=alias_dict).persist()
+        nodes = track(nodes)
+        mapping = track(link_entities(nodes, alias_dict=alias_dict))
         edges = repoint_edges(edges, mapping)
         nodes = merge_nodes(nodes, mapping)
-    nodes = nodes.persist()
+    nodes = track(nodes)
     edges = enforce_referential_integrity(nodes, edges)
     return nodes, edges

@@ -97,3 +97,177 @@ def link_chunks_to_relations(chunk_entity_links: DataFrame, triples: DataFrame) 
         .join(tails, ["chunk_id", "obj"])
         .select("chunk_id", "conv_id", "subj", "pred", "obj")
     )
+
+
+# ---------------------------------------------------- C1 separator fidelity
+
+# TokenChunker defaults (chunker.py:21, config.py:122-127)
+SEPARATORS = ["\n\n", "\n", ". ", "! ", "? ", " ", ""]
+
+
+def _char_pack(text: str, limit: int, count) -> list[str]:
+    """Last-resort char accumulation (chunker.py:174-200)."""
+    out, cur = [], ""
+    for ch in text:
+        if count(cur + ch) <= limit:
+            cur += ch
+        else:
+            if cur:
+                out.append(cur)
+            cur = ch
+    if cur:
+        out.append(cur)
+    return out
+
+
+def _pack_parts(text: str, seps: list[str], limit: int, count, top: bool) -> list[str]:
+    """Greedy packing shared by the top level and the recursion
+    (chunker.py:63-172): re-attach the separator to all but the last part,
+    accumulate while <= limit, strip on emit; an oversize single part
+    descends to the next separator level."""
+    if not seps:
+        return _char_pack(text, limit, count)
+    sep, rest = seps[0], seps[1:]
+    if sep == "":
+        return _char_pack(text, limit, count)
+    parts = text.split(sep)
+    if len(parts) <= 1:
+        # top level tries the next separator against the WHOLE text
+        return _pack_parts(text, rest, limit, count, top)
+    out, cur = [], ""
+    for i, part in enumerate(parts):
+        if i < len(parts) - 1:
+            part += sep
+        if count(cur + part) <= limit:
+            cur += part
+            continue
+        if cur.strip():
+            out.append(cur.strip())
+        if count(part) > limit:
+            out.extend(_pack_parts(part, rest, limit, count, False))
+            cur = ""
+        else:
+            cur = part
+    if cur.strip():
+        out.append(cur.strip())
+    return out
+
+
+def _add_overlaps(chunks: list[str], overlap: int, limit: int, count, suffix) -> list[str]:
+    """Prefix each chunk (after the first) with the last ``overlap`` tokens
+    of its predecessor, kept only while the combination stays <= limit +
+    overlap (chunker.py:201-257)."""
+    if len(chunks) <= 1 or overlap == 0:
+        return chunks
+    out = [chunks[0]]
+    for prev, cur in zip(chunks, chunks[1:]):
+        combined = suffix(prev, overlap) + cur
+        out.append(combined if count(combined) <= limit + overlap else cur)
+    return out
+
+
+def split_text_hierarchical(
+    text: str, chunk_size: int, overlap: int, encoding
+) -> list[str]:
+    """Reference TokenChunker.split_text semantics (chunker.py:63-257),
+    re-expressed: separator-hierarchy greedy packing + token-suffix overlap.
+    ``encoding`` provides encode/decode (tiktoken when installed;
+    refload.FakeSegmentEncoding in this container)."""
+
+    def count(t: str) -> int:
+        return len(encoding.encode(t))
+
+    def suffix(t: str, k: int) -> str:
+        toks = encoding.encode(t)
+        return t if len(toks) <= k else str(encoding.decode(toks[-k:]))
+
+    chunks = _pack_parts(text, SEPARATORS, chunk_size, count, True)
+    chunks = _add_overlaps(chunks, overlap, chunk_size, count, suffix)
+    return [c for c in chunks if c.strip()]
+
+
+def split_text_simple(text: str, chunk_size: int) -> list[str]:
+    """Reference SimpleTokenChunker.split_text semantics (chunker.py:
+    287-360): word-approx token count (words / 0.75), first productive
+    separator only, NO recursion into oversize parts, no overlap."""
+    import re as _re
+
+    def count(t: str) -> int:
+        return int(len(_re.findall(r"\b\w+\b", t)) / 0.75)
+
+    for sep in ["\n\n", "\n", ". ", "! ", "? ", " "]:
+        parts = text.split(sep)
+        if len(parts) <= 1:
+            continue
+        out, cur = [], ""
+        for i, part in enumerate(parts):
+            if i < len(parts) - 1:
+                part += sep
+            if count(cur + part) <= chunk_size:
+                cur += part
+            else:
+                if cur.strip():
+                    out.append(cur.strip())
+                cur = part
+        if cur.strip():
+            out.append(cur.strip())
+        return [c for c in out if c.strip()]
+    return []
+
+
+def token_chunk_documents(
+    documents: DataFrame,
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    overlap: int = DEFAULT_OVERLAP,
+    mode: str = "hierarchical",
+) -> DataFrame:
+    """C1 with reference-exact boundaries: (conv_id, text) -> chunk rows via
+    a mapInPandas kernel (the recursive separator walk is inherently
+    per-document Python; it runs once per Arrow batch, vectorized over the
+    batch's documents — never per-row through the serializer).
+
+    mode="hierarchical": TokenChunker semantics (tiktoken when installed,
+    else the deterministic segment encoding). mode="simple":
+    SimpleTokenChunker word-approx semantics. The pure-column word-window
+    chunker (chunk_documents) remains the zero-Python scale path."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    if mode == "hierarchical":
+        try:
+            import tiktoken
+
+            enc = tiktoken.get_encoding("cl100k_base")
+        except ImportError:
+            from ..refload import FakeSegmentEncoding
+
+            enc = FakeSegmentEncoding()
+
+        def split(t: str) -> list[str]:
+            return split_text_hierarchical(t, chunk_size, overlap, enc)
+    else:
+
+        def split(t: str) -> list[str]:
+            return split_text_simple(t, chunk_size)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for conv_id, text in zip(pdf["conv_id"], pdf["text"]):
+                pieces = split(text or "")
+                n = len(pieces)
+                for i, c in enumerate(pieces):
+                    rows.append((conv_id, i, c, "document" if n == 1 else "chunk"))
+            if rows:
+                yield pd.DataFrame(rows, columns=["conv_id", "chunk_idx", "content", "chunk_type"])
+
+    out = documents.select("conv_id", "text").mapInPandas(
+        kernel, schema="conv_id string, chunk_idx int, content string, chunk_type string"
+    )
+    return out.select(
+        F.md5(F.concat_ws("|", "conv_id", "chunk_idx")).alias("chunk_id"),
+        "conv_id", "chunk_idx", "content", "chunk_type",
+    )

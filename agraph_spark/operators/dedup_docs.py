@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import track
 from .textstats import fingerprint
 
 
@@ -51,6 +52,9 @@ def word_shingles(text: F.Column, n: int = 3) -> F.Column:
 def shingle_table(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
+    from ..session import spread
+
+    df = spread(df)
     return df.select(
         F.col(id_col).alias("doc"), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
     )
@@ -70,7 +74,7 @@ def ngram_jaccard_pairs(
     ``max_shingle_docs`` drops shingles present in more than that many docs
     (hot-key/skew guard; such shingles are boilerplate and only inflate the
     candidate pair space quadratically)."""
-    sh = shingle_table(df, id_col, text_col, n).persist()
+    sh = track(shingle_table(df, id_col, text_col, n))
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     hot = (
         sh.groupBy("shingle").agg(F.count("*").alias("df_cnt"))
@@ -106,15 +110,60 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(doc, sig: array<bigint>) — k salted-xxhash64 min values over the
-    shingle set. One explode + one groupBy; no UDF."""
-    sh = shingle_table(df, id_col, text_col, n)
+    """(doc, sig: array<bigint>) — k seeded-xxhash64 min values over the
+    shingle set. One explode + one groupBy; no UDF.
+
+    Each shingle string is hashed ONCE (variable-length input); the k
+    per-permutation hashes re-hash that 8-byte long with a seed column —
+    k cheap fixed-width hashes instead of k string hashes (measured ~2x
+    on the signature stage)."""
+    sh = shingle_table(df, id_col, text_col, n).withColumn(
+        "h", F.xxhash64(F.col("shingle"))
+    )
     mins = [
-        F.min(F.xxhash64(F.concat(F.lit(f"mh{i}|"), F.col("shingle")))).alias(f"h{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     sig = sh.groupBy("doc").agg(*mins)
     return sig.select("doc", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def _cap_buckets(
+    band_rows: DataFrame, keys: list[str], max_bucket_size: int | None, log_dropped: bool
+) -> DataFrame:
+    """Drop LSH buckets larger than ``max_bucket_size`` before the
+    within-bucket self-join. A boilerplate-heavy corpus (the normal case for
+    web/training data) puts millions of near-identical docs in one band
+    bucket; the self-join then explodes quadratically on a single shuffle
+    key. Same skew guard as ngram_jaccard_pairs' hot-shingle cap. Dropped
+    buckets mean dropped candidates only when a pair collides in NO other
+    band — the standard LSH recall/cost trade, made explicit and loggable."""
+    if max_bucket_size is None:
+        return band_rows
+    if log_dropped:
+        import logging
+
+        n_hot = (
+            band_rows.groupBy(*keys)
+            .agg(F.count("*").alias("bucket_size"))
+            .where(F.col("bucket_size") > max_bucket_size)
+            .count()
+        )
+        if n_hot:
+            logging.getLogger(__name__).warning(
+                "LSH: dropping %d band buckets larger than %d docs", n_hot, max_bucket_size
+            )
+    # window, not groupBy+anti-join: one shuffle on the SAME keys the
+    # downstream self-join uses (exchange reuse), and no second subtree
+    # racing to materialize the signature cache
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(k) for k in keys])
+    return (
+        band_rows.withColumn("_bucket_size", F.count("*").over(w))
+        .where(F.col("_bucket_size") <= max_bucket_size)
+        .drop("_bucket_size")
+    )
 
 
 def minhash_lsh_pairs(
@@ -125,15 +174,20 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_size: int | None = 5000,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """MinHash-LSH near-dup candidates verified by estimated Jaccard.
 
     Band buckets: docs agreeing on all rows of any band collide; candidate
     pairs come from within-bucket joins (shuffle keyed by (band, bucket
     hash) — bounded by bucket sizes, not corpus size). Estimated Jaccard =
-    fraction of agreeing minhash components."""
+    fraction of agreeing minhash components. Buckets above
+    ``max_bucket_size`` are dropped before the self-join (skew guard; see
+    _cap_buckets) — exact-duplicate floods should be removed first by the
+    cheaper exact_dup_groups pass."""
     rows = num_hashes // bands
-    sig = minhash_signatures(df, num_hashes, n, id_col, text_col).persist()
+    sig = track(minhash_signatures(df, num_hashes, n, id_col, text_col))
     band_rows = sig.select(
         "doc",
         F.posexplode(
@@ -147,6 +201,7 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
+    band_rows = _cap_buckets(band_rows, ["band", "bucket"], max_bucket_size, log_dropped)
     a = band_rows.alias("a")
     b = band_rows.alias("b")
     cand = (
@@ -181,7 +236,9 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 
     Explode tokens, xxhash64 each, aggregate per-bit +1/-1 sums, assemble
     bits — one groupBy, JVM-side bit arithmetic."""
-    toks = df.select(
+    from ..session import spread
+
+    toks = spread(df).select(
         F.col(id_col).alias("doc"),
         F.explode(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\w+"), 0)).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
@@ -209,10 +266,19 @@ def hamming64(a: F.Column, b: F.Column) -> F.Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, band_bits: int = 16, **kw) -> DataFrame:
+def simhash_near_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    band_bits: int = 16,
+    max_bucket_size: int | None = 5000,
+    log_dropped: bool = False,
+    **kw,
+) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit bands
-    (a pair within Hamming<=3 of 64 bits must agree on >=1 of 4 bands)."""
-    sim = simhash64(df, **kw).persist()
+    (a pair within Hamming<=3 of 64 bits must agree on >=1 of 4 bands).
+    Band buckets above ``max_bucket_size`` are dropped before the self-join
+    (skew guard, see _cap_buckets)."""
+    sim = track(simhash64(df, **kw))
     bands = sim.select(
         "doc",
         "simhash",
@@ -225,6 +291,7 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, band_bits: int = 16,
             )
         ).alias("band", "key"),
     )
+    bands = _cap_buckets(bands, ["band", "key"], max_bucket_size, log_dropped)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, ["band", "key"])

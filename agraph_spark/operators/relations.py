@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .. import patterns as P
+from ..caching import track
 from ..schemas import REL_CANDIDATES
 
 # Python str.strip() strips unicode whitespace; (?U) makes Java \s match it too
@@ -124,7 +125,7 @@ def pattern_relations(candidates: DataFrame, entities: DataFrame) -> DataFrame:
     )
     # consumed twice (head + tail joins): persist so the fuzzy-containment
     # cartesian join runs once, not once per side
-    res = resolve_mentions(texts, entities).persist()
+    res = track(resolve_mentions(texts, entities))
     h = res.select(
         "conv_id",
         F.col("text").alias("head_text"),
@@ -176,7 +177,8 @@ def cooccurrence_relations(documents: DataFrame, entities: DataFrame) -> DataFra
     # sentence x entity containment join once per side
     hits = sents.join(entities, "conv_id").where(
         F.instr(F.col("sent"), F.col("name_norm")) > 0
-    ).select("conv_id", "sent_idx", "name_norm", "entity_type", "entity_order").persist()
+    ).select("conv_id", "sent_idx", "name_norm", "entity_type", "entity_order")
+    hits = track(hits)
     a = hits.alias("a")
     b = hits.alias("b")
     return (

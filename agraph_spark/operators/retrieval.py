@@ -115,3 +115,195 @@ def expand_connected_chunks(
         .orderBy(F.desc("relevance"), F.asc("chunk_id"))
         .limit(k_extra)
     )
+
+
+# ----------------------------------------------------------------- V10 chat
+
+# Reference system prompt (agraph/config.py:85-120, RAG_SYS_PROMPT) —
+# reproduced as data: the context contract ({history}/{kg_context}/
+# {response_type} slots) is part of the reference's read-path semantics.
+RAG_SYS_PROMPT = """---Role---
+
+You are a helpful assistant responding to user query about Data Sources provided below.
+
+
+---Goal---
+
+Generate a concise response based on Data Sources and follow Response Rules, considering both the conversation history and the current query. Data sources contain two parts: Knowledge Graph(KG) and Document Chunks(DC). Summarize all information in the provided Data Sources, and incorporating general knowledge relevant to the Data Sources. Do not include information not provided by Data Sources.
+
+---Conversation History---
+{history}
+
+---Data Sources---
+
+1. From Knowledge Graph(KG):
+{kg_context}
+
+---Response Rules---
+
+- Target format and length: {response_type}
+- If you don't know the answer, just say so. Do not make anything up.
+- Do not include information not provided by the Data Sources."""
+
+
+def chat_context(
+    nodes: DataFrame,
+    edges_rendered: DataFrame,
+    chunks: DataFrame,
+    query: DataFrame,
+    k_entities: int = 5,
+    k_relations: int = 5,
+    k_chunks: int = 5,
+    threshold: float = 0.0,
+    content_col: str = "render_text",
+) -> DataFrame:
+    """V10 context assembly (knowledge_retriever.py:793-860): the engine
+    side of ChatKnowledgeRetriever.chat_llm — per-namespace top-k retrieval
+    plus the JSON kg_context and the numbered text_content block the
+    reference interpolates into RAG_SYS_PROMPT. Returns ONE row
+    (kg_context, text_content, n_entities, n_relations, n_chunks); only the
+    final LLM call stays driver-side (single network-bound request).
+
+    All assembly is distributed: one scored union pass, window top-k,
+    to_json over collected structs — no driver-side loops."""
+    from pyspark.sql import Window
+
+    u = (
+        nodes.select(
+            F.col("entity_id").alias("item_id"),
+            F.lit("entity").alias("namespace"),
+            F.col(content_col).alias("content"),
+            "embedding",
+        )
+        .unionByName(
+            edges_rendered.select(
+                F.col("edge_id").alias("item_id"),
+                F.lit("relation").alias("namespace"),
+                F.col(content_col).alias("content"),
+                "embedding",
+            )
+        )
+        .unionByName(
+            chunks.select(
+                F.col("chunk_id").alias("item_id"),
+                F.lit("text_chunk").alias("namespace"),
+                F.col(content_col).alias("content"),
+                "embedding",
+            )
+        )
+    )
+    scored = _scored(u, query).where(F.col("score") >= threshold)
+    w = Window.partitionBy("namespace").orderBy(F.desc("score"), F.asc("item_id"))
+    k_map = F.create_map(
+        F.lit("entity"), F.lit(k_entities),
+        F.lit("relation"), F.lit(k_relations),
+        F.lit("text_chunk"), F.lit(k_chunks),
+    )
+    hits = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k_map[F.col("namespace")])
+        .select("item_id", "namespace", "content", "score", "rk")
+    )
+
+    def _ns_json(ns: str) -> F.Column:
+        item = F.when(
+            F.col("namespace") == ns,
+            F.struct(
+                F.col("rk"),
+                F.col("item_id").alias("id"),
+                F.col("content"),
+                F.round("score", 6).alias("score"),
+            ),
+        )
+        ordered = F.transform(
+            F.array_sort(F.collect_list(item)),
+            lambda s: s.dropFields("rk"),
+        )
+        return F.to_json(ordered)
+
+    chunk_line = F.when(
+        F.col("namespace") == "text_chunk",
+        F.struct(
+            F.col("rk"),
+            F.concat(
+                F.lit("文本片段 "), F.col("rk").cast("string"), F.lit(": "),
+                F.substring(F.col("content"), 1, 200), F.lit("..."),
+            ).alias("line"),
+        ),
+    )
+    return hits.groupBy().agg(
+        _ns_json("entity").alias("entities_json"),
+        _ns_json("relation").alias("relations_json"),
+        _ns_json("text_chunk").alias("chunks_json"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(chunk_line)), lambda s: s["line"]),
+            "\n",
+        ).alias("text_content"),
+        F.sum(F.when(F.col("namespace") == "entity", 1).otherwise(0)).alias("n_entities"),
+        F.sum(F.when(F.col("namespace") == "relation", 1).otherwise(0)).alias("n_relations"),
+        F.sum(F.when(F.col("namespace") == "text_chunk", 1).otherwise(0)).alias("n_chunks"),
+    ).select(
+        F.concat(
+            F.lit('{"entities": '), "entities_json",
+            F.lit(', "relations": '), "relations_json",
+            F.lit(', "text_chunks": '), "chunks_json", F.lit("}"),
+        ).alias("kg_context"),
+        "text_content",
+        "n_entities",
+        "n_relations",
+        "n_chunks",
+    )
+
+
+def render_rag_prompt(
+    kg_context: str,
+    text_content: str,
+    history_messages: list | None = None,
+    response_type: str = "text",
+) -> str:
+    """Driver-side prompt interpolation (chat_llm, knowledge_retriever.py:
+    820-840): format RAG_SYS_PROMPT and append the text block when chunks
+    were retrieved."""
+    prompt = RAG_SYS_PROMPT.format(
+        history=history_messages or [], kg_context=kg_context,
+        response_type=response_type,
+    )
+    if text_content:
+        prompt += f"\n\n相关文本内容:\n{text_content}"
+    return prompt
+
+
+def stub_chat_model(system_prompt: str, query: str) -> str:
+    """Deterministic stand-in for the single driver-side LLM call."""
+    import hashlib
+
+    h = hashlib.md5((system_prompt + "|" + query).encode()).hexdigest()[:8]
+    return f"[stub-answer {h}] {query}"
+
+
+def chat(
+    nodes: DataFrame,
+    edges_rendered: DataFrame,
+    chunks: DataFrame,
+    query_vec: DataFrame,
+    query_text: str,
+    model=stub_chat_model,
+    history_messages: list | None = None,
+    **k,
+) -> dict:
+    """V10 (ChatKnowledgeRetriever.chat, knowledge_retriever.py:909-938):
+    distributed retrieval + context assembly, then ONE model call. Returns
+    the reference's response dict shape (minus timestamps)."""
+    row = chat_context(nodes, edges_rendered, chunks, query_vec, **k).collect()
+    if not row:
+        return {"query": query_text, "answer": None, "kg_context": None}
+    r = row[0]
+    prompt = render_rag_prompt(r["kg_context"], r["text_content"], history_messages)
+    return {
+        "query": query_text,
+        "kg_context": r["kg_context"],
+        "n_entities": r["n_entities"],
+        "n_relations": r["n_relations"],
+        "n_chunks": r["n_chunks"],
+        "answer": model(prompt, query_text),
+    }

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from pyspark.sql import functions as F  # noqa: F811
 
+from .caching import track
 from .operators.extraction import extract_entities
 from .operators.fused import extract_documents_fused, extract_entities_fused
 from .operators.reassemble import reassemble_conversations
@@ -62,7 +63,7 @@ def build_kg(
     if mode in ("fused", "fused_arrays"):
         extracted = extract_documents_fused(documents)
         if cache_documents:
-            extracted = extracted.persist()
+            extracted = track(extracted)
         documents = extracted.select("conv_id", "text")
         entities = extracted.select(
             "conv_id", F.explode("ents").alias("e")
@@ -89,10 +90,10 @@ def build_kg(
         documents = extracted
     else:
         if cache_documents:
-            documents = documents.persist()
+            documents = track(documents)
         entities = extract_entities(documents)
         if cache_documents:
-            entities = entities.persist()
+            entities = track(entities)
         relations = extract_relations(documents, entities)
     triples = to_triples(relations)
     return KGBuild(documents, entities, relations, triples)
@@ -101,6 +102,9 @@ def build_kg(
 def build_triples_from_texts(documents: DataFrame, mode: str = "fused") -> DataFrame:
     """Same pipeline for inputs that are already one-document-per-row
     (e.g. the driver's ``documents`` parquet): expects (conv_id, text)."""
+    from .session import spread
+
+    documents = spread(documents)
     if mode == "fused":
         from .operators.relations import (
             cooccurrence_relations,
@@ -108,7 +112,7 @@ def build_triples_from_texts(documents: DataFrame, mode: str = "fused") -> DataF
             validate_relations,
         )
 
-        extracted = extract_documents_fused(documents).persist()
+        extracted = track(extract_documents_fused(documents))
         entities = extracted.select("conv_id", F.explode("ents").alias("e")).select(
             "conv_id", "e.name", "e.name_norm", "e.entity_type", "e.confidence",
             "e.entity_order",
@@ -119,7 +123,7 @@ def build_triples_from_texts(documents: DataFrame, mode: str = "fused") -> DataF
         pat = pattern_relations(candidates, entities)
         coo = cooccurrence_relations(extracted.select("conv_id", "text"), entities)
         return to_triples(validate_relations(pat.unionByName(coo)))
-    documents = documents.persist()
-    entities = extract_entities(documents).persist()
+    documents = track(documents)
+    entities = track(extract_entities(documents))
     relations = extract_relations(documents, entities)
     return to_triples(relations)

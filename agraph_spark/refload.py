@@ -74,3 +74,40 @@ def reference_triples(doc_text: str) -> set[tuple[str, str, str]]:
         pred = r.relation_type.value if hasattr(r.relation_type, "value") else str(r.relation_type)
         out.add((r.head_entity.name.lower(), pred, r.tail_entity.name.lower()))
     return out
+
+
+class FakeSegmentEncoding:
+    """Deterministic stand-in for a tiktoken encoding: tokens are the
+    maximal whitespace / non-whitespace runs, decode is concatenation
+    (lossless). Absent tiktoken in this container, injecting the SAME
+    encoding into the reference TokenChunker and the engine kernel lets the
+    chunking ALGORITHM (greedy packing, separator recursion, overlap) be
+    parity-tested exactly."""
+
+    def encode(self, text: str):
+        import re
+
+        return re.findall(r"\s+|\S+", text)
+
+    def decode(self, tokens) -> str:
+        return "".join(tokens)
+
+
+def load_reference_chunker():
+    """Return (TokenChunker, SimpleTokenChunker) from the actual reference
+    chunker module (/root/reference/agraph/chunker.py), with a stub tiktoken
+    module injected (the real one is not installed here)."""
+    name = f"{_PKG}.chunker"
+    if name in sys.modules:
+        m = sys.modules[name]
+        return m.TokenChunker, m.SimpleTokenChunker
+    if "tiktoken" not in sys.modules:
+        try:
+            import tiktoken  # noqa: F401
+        except ImportError:
+            stub = pytypes.ModuleType("tiktoken")
+            stub.encoding_for_model = lambda model: FakeSegmentEncoding()
+            stub.get_encoding = lambda name: FakeSegmentEncoding()
+            sys.modules["tiktoken"] = stub
+    m = _load(name, f"{REF_ROOT}/chunker.py")
+    return m.TokenChunker, m.SimpleTokenChunker

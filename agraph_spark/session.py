@@ -68,3 +68,21 @@ def get_spark(
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def spread(df, min_partitions: int | None = None):
+    """Guarantee enough input partitions before a CPU-heavy narrow stage.
+
+    Small parquet inputs arrive as ONE partition (a 5k-doc corpus is one
+    ~1.5 MB file), which serializes every downstream narrow operator —
+    regex kernels, shingle explodes, signature hashing — onto a single
+    core. A round-robin repartition of the RAW rows is almost free at that
+    size and unlocks full parallelism. At 100 TB the input has orders of
+    magnitude more partitions than cores and this is a no-op (the guard
+    checks, never blindly shuffles).
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

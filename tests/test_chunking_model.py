@@ -90,3 +90,80 @@ def test_model_relation_extraction_normalizes_types(spark):
     # stub emits EMPLOYED_BY; normalization maps it to works_for
     assert (r.subj, r.pred, r.obj) == ("alice smith", "works_for", "acme corp")
     assert r.relation_id.startswith("relation_")
+
+
+def _gen_texts():
+    import random
+
+    rng = random.Random(13)
+    words = ["alpha", "beta", "gamma", "delta", "spark", "table", "join", "図", "data"]
+    texts = [
+        "",
+        "single",
+        "no separators here at all".replace(" ", "_"),
+        "Para one sentence a. Sentence b is here! Is this c?\n\nPara two starts. "
+        + "word " * 40 + "\nshort line.",
+        "x" * 300,  # char-split fallback
+        ("A long paragraph without breaks " * 20).strip(),
+        "\n\n".join(" ".join(rng.choice(words) for _ in range(rng.randint(1, 60)))
+                     for _ in range(6)),
+        "Q! R? S. " * 30,
+    ]
+    for _ in range(10):
+        n_para = rng.randint(1, 4)
+        paras = []
+        for _ in range(n_para):
+            n_sent = rng.randint(1, 6)
+            paras.append(" ".join(
+                " ".join(rng.choice(words) for _ in range(rng.randint(2, 25)))
+                + rng.choice([".", "!", "?"]) for _ in range(n_sent)))
+        texts.append("\n\n".join(paras))
+    return texts
+
+
+def test_hierarchical_chunker_matches_reference_tokenchunker(spark):
+    """Engine split_text_hierarchical == the ACTUAL reference
+    TokenChunker.split_text under the same (injected) encoding, for every
+    generated text and several (size, overlap) configs."""
+    from agraph_spark.operators.chunking import split_text_hierarchical
+    from agraph_spark.refload import FakeSegmentEncoding, load_reference_chunker
+
+    TokenChunker, _ = load_reference_chunker()
+    enc = FakeSegmentEncoding()
+    for size, ov in [(20, 5), (50, 10), (10, 0), (30, 29)]:
+        ref = TokenChunker(chunk_size=size, chunk_overlap=ov)
+        for t in _gen_texts():
+            assert split_text_hierarchical(t, size, ov, enc) == ref.split_text(t), (
+                size, ov, t[:50])
+
+
+def test_simple_chunker_matches_reference_simplechunker(spark):
+    from agraph_spark.operators.chunking import split_text_simple
+    from agraph_spark.refload import load_reference_chunker
+
+    _, SimpleTokenChunker = load_reference_chunker()
+    for size in (10, 40, 200):
+        ref = SimpleTokenChunker(chunk_size=size, chunk_overlap=0)
+        for t in _gen_texts():
+            assert split_text_simple(t, size) == ref.split_text(t), (size, t[:50])
+
+
+def test_token_chunk_documents_kernel(spark):
+    """The mapInPandas wrapper emits one row per reference chunk, in order,
+    with document/chunk typing."""
+    from agraph_spark.operators.chunking import token_chunk_documents
+    from agraph_spark.refload import FakeSegmentEncoding, load_reference_chunker
+
+    TokenChunker, _ = load_reference_chunker()
+    texts = [t for t in _gen_texts() if t.strip()][:6]
+    docs = spark.createDataFrame(
+        [(f"c{i}", t) for i, t in enumerate(texts)], "conv_id string, text string")
+    got = (token_chunk_documents(docs, chunk_size=20, overlap=5)
+           .orderBy("conv_id", "chunk_idx").collect())
+    ref = TokenChunker(chunk_size=20, chunk_overlap=5)
+    want = []
+    for i, t in enumerate(texts):
+        pieces = ref.split_text(t)
+        for j, c in enumerate(pieces):
+            want.append((f"c{i}", j, c, "document" if len(pieces) == 1 else "chunk"))
+    assert [(r.conv_id, r.chunk_idx, r.content, r.chunk_type) for r in got] == sorted(want)

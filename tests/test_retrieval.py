@@ -85,3 +85,36 @@ def test_search_namespace_threshold(spark):
     q = spark.createDataFrame([([1.0, 0.0],)], "query_vec array<float>")
     got = [r.vec_id for r in search_namespace(df, q, k=10, threshold=0.5, id_col="vec_id").collect()]
     assert got == [1, 3]
+
+
+def test_chat_context_assembly(spark):
+    """V10: per-namespace top-k respects distinct k's; kg_context is valid
+    JSON in retrieval-rank order; text_content numbers the chunk prefixes."""
+    import json
+
+    from agraph_spark.operators.retrieval import chat, chat_context
+    from agraph_spark.operators.vectors import embed_hash_stub
+    from pyspark.sql import functions as F
+
+    mk = lambda rows, idc: embed_hash_stub(
+        spark.createDataFrame(rows, f"{idc} string, render_text string"))
+    nodes = mk([(f"e{i}", f"entity topic {i}") for i in range(10)], "entity_id")
+    edges = mk([(f"r{i}", f"rel {i} connects") for i in range(8)], "edge_id")
+    chunks = mk([(f"c{i}", f"chunk body {i} join query") for i in range(12)], "chunk_id")
+    q = embed_hash_stub(spark.createDataFrame([("join query",)], "render_text string")) \
+        .select(F.col("embedding").alias("query_vec"))
+    r = chat_context(nodes, edges, chunks, q, k_entities=3, k_relations=2,
+                     k_chunks=4, threshold=-1.0).collect()[0]
+    assert (r.n_entities, r.n_relations, r.n_chunks) == (3, 2, 4)
+    ctx = json.loads(r.kg_context)
+    assert sorted(ctx) == ["entities", "relations", "text_chunks"]
+    assert len(ctx["entities"]) == 3 and len(ctx["text_chunks"]) == 4
+    scores = [e["score"] for e in ctx["entities"]]
+    assert scores == sorted(scores, reverse=True)
+    lines = r.text_content.splitlines()
+    assert len(lines) == 4 and lines[0].startswith("文本片段 1: ")
+    # driver-side wrapper: deterministic stub answer, same context
+    resp = chat(nodes, edges, chunks, q, "join query", k_entities=3,
+                k_relations=2, k_chunks=4, threshold=-1.0)
+    assert resp["answer"].startswith("[stub-answer ")
+    assert resp["n_chunks"] == 4
