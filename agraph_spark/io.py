@@ -148,6 +148,8 @@ JSON_EXTS = {".json", ".jsonl"}
 CSV_EXTS = {".csv", ".tsv"}
 STUB_EXTS = {".pdf": "pdf", ".docx": "word", ".doc": "word",
              ".png": "image-ocr", ".jpg": "image-ocr", ".jpeg": "image-ocr"}
+HTML_EXTS = {".html", ".htm"}
+XLSX_EXTS = {".xlsx", ".xlsm"}
 
 
 def read_documents(spark: SparkSession, path: str) -> DataFrame:
@@ -158,6 +160,10 @@ def read_documents(spark: SparkSession, path: str) -> DataFrame:
     raise NotImplementedError (codec libraries not in this container) —
     the dispatch mirrors DocumentProcessorFactory (processer/factory.py)."""
     ext = os.path.splitext(path)[1].lower()
+    if ext in HTML_EXTS:
+        return _read_binary_documents(spark, path, _html_to_text)
+    if ext in XLSX_EXTS:
+        return _read_binary_documents(spark, path, _xlsx_to_text)
     if ext in STUB_EXTS:
         raise NotImplementedError(
             f"{STUB_EXTS[ext]} extraction requires codec libraries not present "
@@ -184,3 +190,157 @@ def read_documents(spark: SparkSession, path: str) -> DataFrame:
             F.col("value").alias("text"),
         )
     )
+
+
+def _html_to_text(raw: bytes) -> str:
+    """Tag-stripped text in document order, script/style/nav/header/footer
+    removed — the reference HTMLProcessor's plain-text mode
+    (processer/html_processor.py:132-161) via stdlib html.parser (bs4 is
+    not installed here)."""
+    from html.parser import HTMLParser
+
+    skip_tags = {"script", "style", "nav", "header", "footer", "aside", "meta", "link"}
+
+    class _Extract(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.depth = 0
+            self.parts: list[str] = []
+
+        def handle_starttag(self, tag, attrs):
+            if tag in skip_tags:
+                self.depth += 1
+
+        def handle_endtag(self, tag):
+            if tag in skip_tags and self.depth:
+                self.depth -= 1
+
+        def handle_data(self, data):
+            if not self.depth and data.strip():
+                self.parts.append(data.strip())
+
+    p = _Extract()
+    p.feed(raw.decode("utf-8", errors="replace"))
+    return "\n".join(p.parts)
+
+
+def _xlsx_to_text(raw: bytes) -> str:
+    """Sheet-by-sheet pipe-joined rows — the reference
+    SpreadsheetProcessor's formatted-table text (processer/
+    spreadsheet_processor.py:164-279) via stdlib zipfile + ElementTree
+    (openpyxl is not installed here). Handles inline and shared strings."""
+    import io as _io
+    import re as _re
+    import zipfile
+    from xml.etree import ElementTree as ET
+
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    out: list[str] = []
+    with zipfile.ZipFile(_io.BytesIO(raw)) as z:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in root.findall(f"{ns}si"):
+                shared.append("".join(t.text or "" for t in si.iter(f"{ns}t")))
+        sheets = sorted(n for n in z.namelist()
+                        if _re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n))
+        for idx, name in enumerate(sheets, 1):
+            root = ET.fromstring(z.read(name))
+            rows = []
+            for row in root.iter(f"{ns}row"):
+                vals = []
+                for c in row.findall(f"{ns}c"):
+                    v = c.find(f"{ns}v")
+                    if v is None:
+                        is_ = c.find(f"{ns}is")
+                        vals.append("".join(t.text or "" for t in is_.iter(f"{ns}t")) if is_ is not None else "")
+                    elif c.get("t") == "s":
+                        vals.append(shared[int(v.text)])
+                    else:
+                        vals.append(v.text or "")
+                if any(x.strip() for x in vals):
+                    rows.append(" | ".join(vals))
+            if rows:
+                out.append(f"Sheet {idx}:\n" + "\n".join(rows))
+    return "\n\n".join(out)
+
+
+def _read_binary_documents(spark: SparkSession, path: str, to_text) -> DataFrame:
+    """binaryFile scan -> per-file text extraction inside a mapInPandas
+    kernel: file parsing runs ON EXECUTORS, one Arrow batch of files at a
+    time — a directory of millions of files distributes like any scan."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame({
+                "conv_id": pdf["path"].map(lambda p: p.rsplit("/", 1)[-1]),
+                "text": pdf["content"].map(to_text),
+            })
+
+    return files.mapInPandas(kernel, schema="conv_id string, text string")
+
+
+# LightRAG GraphML attribute keys (lightrag_builder.py:383-559):
+# nodes d0=entity_id(name) d1=entity_type d2=description d3=source_id
+# d4=file_path d5=created_at; edges d6=weight d7=description d8=keywords
+# d9=source_id d10=file_path d11=created_at.
+_LIGHTRAG_KNOWN_TYPES = {
+    "person", "organization", "location", "concept", "document",
+    "keyword", "table", "column", "database",
+}
+
+
+def import_lightrag_graphml(spark: SparkSession, xml_text: str) -> tuple[DataFrame, DataFrame]:
+    """S4 LightRAG fidelity: parse a LightRAG-exported GraphML with the full
+    d0-d11 attribute mapping (lightrag_builder.py:438-559) — name falls back
+    to the node id, unknown entity types map to 'unknown', edges are
+    RELATED_TO with weight as confidence (default 1.0), and edges whose
+    endpoints are missing are dropped (the reference returns None for
+    them)."""
+    import xml.etree.ElementTree as ET
+
+    ns = {"g": "http://graphml.graphdrawing.org/xmlns"}
+    root = ET.fromstring(xml_text)
+    nodes, edges, node_ids = [], [], set()
+    for nd in root.iterfind(".//g:node", ns):
+        nid = nd.get("id")
+        if nid is None:
+            continue
+        d = {x.get("key"): x.text for x in nd.iterfind("g:data", ns) if x.text}
+        et = (d.get("d1") or "unknown").lower()
+        nodes.append((
+            nid, d.get("d0", nid),
+            et if et in _LIGHTRAG_KNOWN_TYPES else "unknown",
+            d.get("d2", ""), "lightrag",
+            d.get("d3", ""), d.get("d4", ""), d.get("d5", ""),
+        ))
+        node_ids.add(nid)
+    for ed in root.iterfind(".//g:edge", ns):
+        src, dst = ed.get("source"), ed.get("target")
+        if src not in node_ids or dst not in node_ids:
+            continue
+        d = {x.get("key"): x.text for x in ed.iterfind("g:data", ns) if x.text}
+        edges.append((
+            src, dst, "related_to", float(d.get("d6", 1.0)), "lightrag",
+            d.get("d7", ""), d.get("d8", ""), d.get("d9", ""),
+            d.get("d10", ""), d.get("d11", ""),
+        ))
+    ndf = spark.createDataFrame(
+        nodes,
+        "entity_id string, name string, entity_type string, description string, "
+        "source string, source_id string, file_path string, created_at string",
+    )
+    edf = spark.createDataFrame(
+        edges,
+        "head_id string, tail_id string, pred string, confidence double, "
+        "source string, description string, keywords string, source_id string, "
+        "file_path string, created_at string",
+    )
+    return ndf, edf

@@ -19,12 +19,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def lineage_cutter(df_like: DataFrame, checkpoint_dir: str | None):
+    """Per-iteration lineage cut for driver-controlled loops.
+
+    ``localCheckpoint`` (default) stores blocks in executor memory/disk —
+    fastest, but an executor loss aborts a half-converged loop because the
+    truncated lineage cannot recompute. For long-running jobs on a real
+    cluster pass ``checkpoint_dir`` (an HDFS/S3-visible path): iterations
+    then write reliable checkpoints that survive executor loss."""
+    if checkpoint_dir is None:
+        return lambda df: df.localCheckpoint()
+    df_like.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    return lambda df: df.checkpoint()
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,
     src: str = "head_id",
     dst: str = "tail_id",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Undirected connected components: (entity_id, component) where
     component = min entity_id in the component.
@@ -42,8 +57,9 @@ def connected_components(
     ids = sym.select(F.col("a").alias("entity_id")).distinct()
     if nodes is not None:
         ids = ids.unionByName(nodes.select("entity_id")).distinct()
+    cut = lineage_cutter(edges, checkpoint_dir)
     labels = ids.select("entity_id", F.col("entity_id").alias("component"))
-    labels = labels.localCheckpoint()
+    labels = cut(labels)
 
     for _ in range(max_iter):
         # hash-min: each node adopts min(own label, neighbors' labels)
@@ -71,8 +87,8 @@ def connected_components(
                     "component"
                 ),
             )
-            .localCheckpoint()
         )
+        new_labels = cut(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "entity_id")
@@ -95,6 +111,7 @@ def bfs_distances(
     start_id: str,
     max_depth: int = 5,
     undirected: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """A9: unweighted BFS distance from start to all nodes within max_depth
     (graph_path_finder.py:44-103). Frontier-expansion joins with a visited
@@ -106,6 +123,7 @@ def bfs_distances(
             edges.select(F.col("tail_id").alias("src"), F.col("head_id").alias("dst"))
         )
     adj = adj.distinct()
+    cut = lineage_cutter(edges, checkpoint_dir)
     visited = spark.createDataFrame([(start_id, 0)], "entity_id string, dist int")
     frontier = visited
     for d in range(1, max_depth + 1):
@@ -118,10 +136,10 @@ def bfs_distances(
             .join(visited.select("entity_id"), "entity_id", "left_anti")
             .withColumn("dist", F.lit(d))
         )
-        nxt = nxt.localCheckpoint()
+        nxt = cut(nxt)
         if nxt.limit(1).count() == 0:
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
+        visited = cut(visited.unionByName(nxt))
         frontier = nxt
     return visited
 

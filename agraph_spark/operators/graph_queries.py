@@ -138,12 +138,19 @@ def merge_graphs(
 # -------------------------------------------------------------- A10 paths
 
 def all_paths(
-    edges: DataFrame, start_id: str, end_id: str, max_depth: int = 3
+    edges: DataFrame,
+    start_id: str,
+    end_id: str,
+    max_depth: int = 3,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """A10 (graph_path_finder.py:105-155): every simple directed path
     start->end up to max_depth, as (path array, depth). Bounded self-join
     expansion with an array-membership cycle guard."""
+    from .components import lineage_cutter
+
     adj = edges.select(F.col("head_id").alias("src"), F.col("tail_id").alias("dst")).distinct()
+    cut = lineage_cutter(edges, checkpoint_dir)
     spark = edges.sparkSession
     frontier = spark.createDataFrame([(start_id, [start_id])], "node string, path array<string>")
     found = None
@@ -152,8 +159,8 @@ def all_paths(
             frontier.join(adj, frontier["node"] == adj["src"])
             .where(~F.array_contains("path", F.col("dst")))
             .select(F.col("dst").alias("node"), F.concat("path", F.array("dst")).alias("path"))
-            .localCheckpoint()
         )
+        stepped = cut(stepped)
         hits = stepped.where(F.col("node") == end_id).select(
             "path", (F.size("path") - 1).alias("depth")
         )

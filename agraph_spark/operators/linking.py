@@ -58,6 +58,7 @@ def lsh_candidate_pairs(
     vocab_features: int = 1 << 18,
     max_name_len: int = 32,
     max_name_words: int = 4,
+    log_excluded: bool = False,
 ) -> DataFrame:
     """D3 blocking via MinHash-LSH over name character 3-gram sets,
     restricted to same entity_type. Returns (id_a, id_b, name_a, name_b,
@@ -77,10 +78,21 @@ def lsh_candidate_pairs(
     max_merges=100 cap, entity_merger.py:296.)"""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    prepared = nodes.where(
-        (F.length("name_norm") <= max_name_len)
-        & (F.size(F.split(F.col("name_norm"), r"\s+")) <= max_name_words)
-    ).select(
+    linkable = (F.length("name_norm") <= max_name_len) & (
+        F.size(F.split(F.col("name_norm"), r"\s+")) <= max_name_words
+    )
+    if log_excluded:
+        import logging
+
+        n_excluded = nodes.where(~linkable).count()
+        if n_excluded:
+            logging.getLogger(__name__).warning(
+                "entity linking: %d entities excluded from the linkable universe "
+                "(name_norm > %d chars or > %d words); they keep their identity "
+                "and are never merge candidates",
+                n_excluded, max_name_len, max_name_words,
+            )
+    prepared = nodes.where(linkable).select(
         "entity_id", "name_norm", "entity_type",
         F.concat(F.lit("^^"), F.col("name_norm"), F.lit("$$")).alias("padded"),
     ).withColumn(
@@ -260,13 +272,25 @@ def link_entities(
     lsh_tables: int = 4,
     name_sim_threshold: float = 0.7,
     model: Callable[[pd.DataFrame], pd.Series] = stub_verify_model,
+    max_name_len: int = 32,
+    max_name_words: int = 4,
+    log_excluded: bool = False,
 ) -> DataFrame:
     """Full D3->D4->D5 chain: returns the (entity_id, canonical_id) mapping.
 
     Alias-dictionary hits are injected as extra confirmed pairs: every
-    entity pair sharing a canonical alias target is a duplicate pair."""
-    pairs = score_candidates(lsh_candidate_pairs(nodes, num_hash_tables=lsh_tables),
-                             name_sim_threshold)
+    entity pair sharing a canonical alias target is a duplicate pair.
+
+    ``max_name_len`` / ``max_name_words`` bound the linkable universe (the
+    LSH skew guard — extraction debris floods buckets quadratically);
+    entities beyond the bound are never merged and, with ``log_excluded``,
+    their count is logged so the recall trade is visible."""
+    pairs = score_candidates(
+        lsh_candidate_pairs(nodes, num_hash_tables=lsh_tables,
+                            max_name_len=max_name_len,
+                            max_name_words=max_name_words,
+                            log_excluded=log_excluded),
+        name_sim_threshold)
     verified = verify_pairs_batched(pairs, model).where(F.col("is_duplicate"))
     confirmed = verified.select("id_a", "id_b")
     if alias_dict is not None:

@@ -81,7 +81,22 @@ def extract_relation_candidates(documents: DataFrame) -> DataFrame:
     )
 
 
-def resolve_mentions(mention_texts: DataFrame, entities: DataFrame) -> DataFrame:
+def _conv_join(big: DataFrame, entities: DataFrame, n_salts: int | None) -> DataFrame:
+    """conv_id equi-join with optional explicit salting for monster
+    conversations: AQE skew-join splitting (on by default) is the first
+    resort; ``n_salts`` replicates the entity side R ways and spreads the
+    big side by row identity so one 10M-turn conversation can never pin the
+    join to a single task even when AQE is off or mid-stage."""
+    if not n_salts:
+        return big.join(entities, "conv_id")
+    from .salting import salted_join_hint
+
+    return salted_join_hint(big, entities, "conv_id", n_salts)
+
+
+def resolve_mentions(
+    mention_texts: DataFrame, entities: DataFrame, n_salts: int | None = None
+) -> DataFrame:
     """E7: map (conv_id, text) -> winning entity.
 
     Reference semantics (relation_extractor.py:420-445): exact dict lookup on
@@ -90,7 +105,7 @@ def resolve_mentions(mention_texts: DataFrame, entities: DataFrame) -> DataFrame
     matches the first entity). Returns
     (conv_id, text, ent_norm, ent_type, ent_order).
     """
-    j = mention_texts.join(entities, "conv_id")
+    j = _conv_join(mention_texts, entities, n_salts)
     text, name = F.col("text"), F.col("name_norm")
     is_exact = text == name
     is_fuzzy = (
@@ -115,7 +130,9 @@ def resolve_mentions(mention_texts: DataFrame, entities: DataFrame) -> DataFrame
     )
 
 
-def pattern_relations(candidates: DataFrame, entities: DataFrame) -> DataFrame:
+def pattern_relations(
+    candidates: DataFrame, entities: DataFrame, n_salts: int | None = None
+) -> DataFrame:
     """E5+E7: resolve both endpoints; drop candidates with an unresolved side
     (relation_extractor.py:400). conf fixed 0.7."""
     texts = (
@@ -125,7 +142,7 @@ def pattern_relations(candidates: DataFrame, entities: DataFrame) -> DataFrame:
     )
     # consumed twice (head + tail joins): persist so the fuzzy-containment
     # cartesian join runs once, not once per side
-    res = track(resolve_mentions(texts, entities))
+    res = track(resolve_mentions(texts, entities, n_salts))
     h = res.select(
         "conv_id",
         F.col("text").alias("head_text"),
@@ -169,13 +186,15 @@ def split_sentences(documents: DataFrame) -> DataFrame:
     )
 
 
-def cooccurrence_relations(documents: DataFrame, entities: DataFrame) -> DataFrame:
+def cooccurrence_relations(
+    documents: DataFrame, entities: DataFrame, n_salts: int | None = None
+) -> DataFrame:
     """E6: entities co-occurring in a sentence -> RELATED_TO pairs, ordered by
     emission order (i < j), conf 0.5 (relation_extractor.py:447-487)."""
     sents = split_sentences(documents)
     # persist: the self-join below would otherwise evaluate the
     # sentence x entity containment join once per side
-    hits = sents.join(entities, "conv_id").where(
+    hits = _conv_join(sents, entities, n_salts).where(
         F.instr(F.col("sent"), F.col("name_norm")) > 0
     ).select("conv_id", "sent_idx", "name_norm", "entity_type", "entity_order")
     hits = track(hits)
@@ -215,10 +234,12 @@ def validate_relations(relations: DataFrame) -> DataFrame:
     )
 
 
-def extract_relations(documents: DataFrame, entities: DataFrame) -> DataFrame:
+def extract_relations(
+    documents: DataFrame, entities: DataFrame, n_salts: int | None = None
+) -> DataFrame:
     """E5+E6+E9 composed: validated relation rows."""
-    pat = pattern_relations(extract_relation_candidates(documents), entities)
-    coo = cooccurrence_relations(documents, entities)
+    pat = pattern_relations(extract_relation_candidates(documents), entities, n_salts)
+    coo = cooccurrence_relations(documents, entities, n_salts)
     return validate_relations(pat.unionByName(coo))
 
 

@@ -89,3 +89,27 @@ def test_degree_and_isolated(spark):
     assert deg == {"a": (0, 2, 2), "b": (2, 1, 3), "c": (2, 1, 3), "d": (0, 0, 0)}
     iso = [r.entity_id for r in isolated_nodes(ndf, edf).collect()]
     assert iso == ["d"]
+
+
+def test_reliable_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir switches the per-iteration lineage cut from
+    executor-memory localCheckpoint to reliable checkpoints (survives
+    executor loss on a real cluster); results are identical."""
+    import os
+
+    from agraph_spark.operators.components import bfs_distances, connected_components
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e"), ("x", "x")],
+        "head_id string, tail_id string")
+    ckpt = str(tmp_path / "ckpt")
+    local = {(r.entity_id, r.component) for r in connected_components(edges).collect()}
+    reliable = {(r.entity_id, r.component)
+                for r in connected_components(edges, checkpoint_dir=ckpt).collect()}
+    assert local == reliable
+    # the reliable run actually wrote checkpoint files
+    assert any(files for _, _, files in os.walk(ckpt))
+    b1 = {(r.entity_id, r.dist) for r in bfs_distances(edges, "a").collect()}
+    b2 = {(r.entity_id, r.dist)
+          for r in bfs_distances(edges, "a", checkpoint_dir=ckpt).collect()}
+    assert b1 == b2

@@ -99,3 +99,30 @@ def test_canonical_mapping_transitive_chain(spark):
     )
     m = {r.entity_id: r.canonical_id for r in canonical_mapping(pairs).collect()}
     assert m == {"b": "a", "c": "a", "d": "a", "y": "x"}
+
+
+def test_linkable_universe_bound_is_visible(spark, caplog):
+    """Entities with names beyond max_name_len/max_name_words are
+    INTENTIONALLY never merge candidates (LSH bucket-flood guard); the
+    exclusion is parameterized and logged, not silent."""
+    import logging
+
+    from agraph_spark.operators.linking import link_entities
+
+    long_name = "the quick brown fox jumps over the lazy dog entirely"
+    nodes = spark.createDataFrame(
+        [("e1", "Acme Corp", "acme corp", "organization", 0.9),
+         ("e2", "Acme Corp.", "acme corp.", "organization", 0.8),
+         ("e3", long_name, long_name, "organization", 0.9),
+         ("e4", long_name + " x", long_name + " x", "organization", 0.9)],
+        "entity_id string, name string, name_norm string, entity_type string, confidence double")
+    with caplog.at_level(logging.WARNING):
+        mapping = link_entities(nodes, log_excluded=True)
+        got = {(r.entity_id, r.canonical_id) for r in mapping.collect()}
+    # short near-dup pair merges; the two long-named near-dups do NOT
+    assert got == {("e2", "e1")}
+    assert any("excluded from the linkable universe" in r.message for r in caplog.records)
+    # widening the bound brings them back into scope
+    wide = link_entities(nodes, max_name_len=64, max_name_words=12)
+    got_wide = {(r.entity_id, r.canonical_id) for r in wide.collect()}
+    assert ("e4", "e3") in got_wide

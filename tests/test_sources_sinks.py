@@ -149,3 +149,68 @@ def test_salted_aggregations(spark):
     sets = {r.key: sorted(r["values"]) for r in
             salted_collect_set(df, "key", "value", "ident").collect()}
     assert sets["hot"] == [f"v{i}" for i in range(7)]
+
+
+def test_read_html_documents(spark, tmp_path):
+    html = """<html><head><title>T</title><style>body{x}</style>
+    <script>var a=1;</script></head>
+    <body><nav>menu</nav><h1>Team Page</h1>
+    <p>Alice Johnson works at Acme Corp.</p>
+    <footer>foot</footer></body></html>"""
+    f = tmp_path / "team.html"
+    f.write_text(html)
+    rows = read_documents(spark, str(f)).collect()
+    assert len(rows) == 1 and rows[0].conv_id == "team.html"
+    t = rows[0].text
+    assert "Team Page" in t and "Alice Johnson works at Acme Corp." in t
+    assert "var a=1" not in t and "menu" not in t and "foot" not in t
+
+
+def test_read_xlsx_documents(spark, tmp_path):
+    # build a minimal xlsx (zip of OOXML parts) with stdlib only
+    import zipfile
+
+    f = tmp_path / "book.xlsx"
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    with zipfile.ZipFile(f, "w") as z:
+        z.writestr("xl/sharedStrings.xml",
+                   f'<?xml version="1.0"?><sst {ns}><si><t>name</t></si>'
+                   f'<si><t>dept</t></si><si><t>Alice</t></si><si><t>Eng</t></si></sst>')
+        z.writestr("xl/worksheets/sheet1.xml",
+                   f'<?xml version="1.0"?><worksheet {ns}><sheetData>'
+                   '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>'
+                   '<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2" t="s"><v>3</v></c>'
+                   '<c r="C2"><v>42</v></c></row>'
+                   '</sheetData></worksheet>')
+    rows = read_documents(spark, str(f)).collect()
+    assert len(rows) == 1 and rows[0].conv_id == "book.xlsx"
+    t = rows[0].text
+    assert t.startswith("Sheet 1:")
+    assert "name | dept" in t and "Alice | Eng | 42" in t
+
+
+def test_import_lightrag_graphml(spark):
+    """LightRAG d0-d11 attribute fidelity: name<-d0 (fallback id),
+    type<-d1 (unknown fallback), weight<-d6, props carried; dangling edges
+    dropped (lightrag_builder.py:383-559)."""
+    from agraph_spark.io import import_lightrag_graphml
+
+    xml = """<?xml version='1.0'?>
+    <graphml xmlns="http://graphml.graphdrawing.org/xmlns"><graph>
+      <node id="n1"><data key="d0">Alice</data><data key="d1">Person</data>
+        <data key="d2">engineer</data><data key="d3">chunk-1</data>
+        <data key="d5">2024-01-01</data></node>
+      <node id="n2"><data key="d1">martian</data></node>
+      <edge source="n1" target="n2"><data key="d6">0.75</data>
+        <data key="d7">knows</data><data key="d8">social</data></edge>
+      <edge source="n1" target="missing"><data key="d6">0.9</data></edge>
+    </graph></graphml>"""
+    nodes, edges = import_lightrag_graphml(spark, xml)
+    n = {r.entity_id: r for r in nodes.collect()}
+    assert n["n1"].name == "Alice" and n["n1"].entity_type == "person"
+    assert n["n1"].description == "engineer" and n["n1"].source_id == "chunk-1"
+    assert n["n2"].name == "n2" and n["n2"].entity_type == "unknown"
+    e = edges.collect()
+    assert len(e) == 1  # dangling edge dropped
+    assert (e[0].pred, e[0].confidence, e[0].description, e[0].keywords) == (
+        "related_to", 0.75, "knows", "social")
