@@ -678,6 +678,29 @@ def q_v10_chat_ctx(spark, sf_dir):
     )
 
 
+def q_v_topk(spark, sf_dir):
+    """V4 brute-force cosine top-k (the ANN baseline)."""
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("query_vec"))
+    out = V.topk_similar(emb, q, k=15, threshold=-1.0)
+    return out.select("vec_id", F.round("score", 3).alias("score"))
+
+
+def q_kg_chunks_hier(spark, sf_dir):
+    """C1 separator-hierarchy chunker over documents (non-SQL: the
+    recursive separator walk is a mapInPandas kernel; its correctness gate
+    is the parity suite vs the actual reference TokenChunker)."""
+    from agraph_spark.operators.chunking import token_chunk_documents
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("conv_id"), "text")
+    ch = token_chunk_documents(d, chunk_size=40, overlap=8)
+    return ch.groupBy(F.col("conv_id").cast("bigint").alias("doc_id")).agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.length("content")).cast("bigint").alias("content_chars"),
+    )
+
+
 def q_tpch_topk_orders(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -770,6 +793,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "g_all_paths": q_g_all_paths,
         "v_hybrid": q_v_hybrid,
         "v10_chat_ctx": q_v10_chat_ctx,
+        "v_topk": q_v_topk,
+        "kg_chunks_hier": q_kg_chunks_hier,
         "tpch_q1": q_tpch_q1,
         "tpch_seg_month": q_tpch_seg_month,
         "tpch_topk_orders": q_tpch_topk_orders,
@@ -1251,6 +1276,14 @@ def oracle_sql() -> dict[str, str]:
               ('tb_orders->tb_orders.user_id', 'contains'),
               ('tb_orders.user_id->tbl_users.id', 'foreign_key')
             ) AS t(item, kind)""",
+        "v_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+            scored AS (
+              SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], qv) AS score
+              FROM embeddings, q
+            )
+            SELECT vec_id, round(score, 3)::DOUBLE AS score
+            FROM scored ORDER BY score DESC, vec_id ASC LIMIT 15""",
         "tpch_seg_month": """
             SELECT c_mktsegment, month(o_orderdate)::INT AS order_month,
                    count(*)::BIGINT AS n_orders,

@@ -48,7 +48,11 @@ def connected_components(
     (llm_builders.py:519-531) and DFS components
     (graph_analyzer.py:173-204).
     """
-    sym = (
+    from ..caching import track
+
+    # persisted: every round joins against sym — without the cache each
+    # iteration would replay the union+distinct shuffles from the raw edges
+    sym = track(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .where(F.col("a").isNotNull() & F.col("b").isNotNull())
@@ -117,12 +121,15 @@ def bfs_distances(
     (graph_path_finder.py:44-103). Frontier-expansion joins with a visited
     anti-join; at most max_depth iterations."""
     spark = edges.sparkSession
+    from ..caching import track
+
     adj = edges.select(F.col("head_id").alias("src"), F.col("tail_id").alias("dst"))
     if undirected:
         adj = adj.unionByName(
             edges.select(F.col("tail_id").alias("src"), F.col("head_id").alias("dst"))
         )
-    adj = adj.distinct()
+    # persisted: joined against once per BFS depth
+    adj = track(adj.distinct())
     cut = lineage_cutter(edges, checkpoint_dir)
     visited = spark.createDataFrame([(start_id, 0)], "entity_id string, dist int")
     frontier = visited

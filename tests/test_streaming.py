@@ -33,3 +33,33 @@ def test_stream_equals_batch(spark):
 
         got = triple_set(streamed_triples(spark, out))
         assert got == want
+
+
+def test_stateful_first_seen_across_batches_and_restart(spark):
+    """applyInPandasWithState: per-conversation seen-sets persist across
+    micro-batches AND query restarts (checkpoint recovery) — a value
+    repeated in a later append is NOT re-emitted."""
+    from agraph_spark.streaming.stateful import start_first_seen_stream
+
+    with tempfile.TemporaryDirectory() as d:
+        inp, out = os.path.join(d, "in"), os.path.join(d, "out")
+        b1 = spark.createDataFrame(
+            [("c1", "alice"), ("c1", "alice"), ("c1", "bob"), ("c2", "alice")],
+            "conv_id string, name_norm string")
+        b1.write.mode("append").parquet(inp)
+        q = start_first_seen_stream(spark, inp, out)
+        q.awaitTermination(120)
+
+        # second append: one repeat (c1, alice) and one genuinely new value
+        b2 = spark.createDataFrame(
+            [("c1", "alice"), ("c1", "carol"), ("c2", "alice")],
+            "conv_id string, name_norm string")
+        b2.write.mode("append").parquet(inp)
+        q2 = start_first_seen_stream(spark, inp, out)  # restart from checkpoint
+        q2.awaitTermination(120)
+
+        got = {(r.conv_id, r.name_norm)
+               for r in spark.read.parquet(f"{out}/rows").collect()}
+        assert got == {("c1", "alice"), ("c1", "bob"), ("c1", "carol"), ("c2", "alice")}
+        n = spark.read.parquet(f"{out}/rows").count()
+        assert n == 4  # no re-emission of repeats
