@@ -701,6 +701,39 @@ def q_kg_chunks_hier(spark, sf_dir):
     )
 
 
+def q_v8_union_topk(spark, sf_dir):
+    """V8 union-pass retrieval over REAL embedding vectors (the hash-stub
+    variant kg_search_multi stays as the V2 signal): three namespace slices
+    of the embeddings table, one scored union scan, per-namespace window
+    top-k."""
+    from agraph_spark.operators.retrieval import search_knowledge
+
+    e = _emb(spark, sf_dir)
+    nodes = e.where(F.col("vec_id") % 3 == 0).select(
+        F.concat(F.lit("e"), F.col("vec_id").cast("string")).alias("entity_id"), "embedding")
+    edges = e.where(F.col("vec_id") % 3 == 1).select(
+        F.concat(F.lit("r"), F.col("vec_id").cast("string")).alias("edge_id"), "embedding")
+    chunks = e.where(F.col("vec_id") % 3 == 2).select(
+        F.concat(F.lit("c"), F.col("vec_id").cast("string")).alias("chunk_id"), "embedding")
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("query_vec"))
+    out = search_knowledge(nodes, edges, chunks, q, k=7, threshold=-1.0)
+    return out.select("item_id", "namespace", F.round("score", 3).alias("score"))
+
+
+def q_v9_expand(spark, sf_dir):
+    """V9 connected-chunk expansion over deterministic chunk-entity links
+    (doc_id arithmetic) seeded by the V8 entity hits."""
+    from agraph_spark.operators.retrieval import expand_connected_chunks
+
+    retrieved = q_v8_union_topk(spark, sf_dir)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    links = d.select(
+        F.concat(F.lit("ch"), (F.col("doc_id") % 40).cast("string")).alias("chunk_id"),
+        F.concat(F.lit("e"), (3 * (F.col("doc_id") % 166)).cast("string")).alias("entity_id"),
+    ).distinct()
+    return expand_connected_chunks(retrieved, links, k_extra=10)
+
+
 def q_tpch_topk_orders(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -794,6 +827,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "v_hybrid": q_v_hybrid,
         "v10_chat_ctx": q_v10_chat_ctx,
         "v_topk": q_v_topk,
+        "v8_union_topk": q_v8_union_topk,
+        "v9_expand": q_v9_expand,
         "kg_chunks_hier": q_kg_chunks_hier,
         "tpch_q1": q_tpch_q1,
         "tpch_seg_month": q_tpch_seg_month,
@@ -847,8 +882,34 @@ bfs AS (SELECT entity_id, min(dist)::INT AS dist FROM walk GROUP BY entity_id)
 """
 
 
+def _ann_lsh_oracle_sql() -> str:
+    """DuckDB twin of q_v_ann_lsh: the seeded hyperplanes are small literal
+    arrays, so the sign-projection bucket is plain SQL (list_dot_product);
+    candidates = rows sharing the query's bucket, exact cosine rerank."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    planes = rng.standard_normal((4, 64)).tolist()
+
+    def arr(p):
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {arr(p)}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+        q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+        SELECT vec_id, round(list_cosine_similarity(v, qv), 3)::DOUBLE AS score
+        FROM b, q WHERE bucket = qb
+        ORDER BY list_cosine_similarity(v, qv) DESC, vec_id ASC LIMIT 20"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "v_ann_lsh": _ann_lsh_oracle_sql(),
         "g_degree": _GC + _DEGREE_SQL_TAIL + "SELECT * FROM deg",
         "g_degree_summary": _GC + _DEGREE_SQL_TAIL + """
             SELECT round(avg(degree), 6)::DOUBLE AS average_degree,
@@ -1276,6 +1337,58 @@ def oracle_sql() -> dict[str, str]:
               ('tb_orders->tb_orders.user_id', 'contains'),
               ('tb_orders.user_id->tbl_users.id', 'foreign_key')
             ) AS t(item, kind)""",
+        "v8_union_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+            u AS (
+              SELECT 'e' || vec_id AS item_id, 'entity' AS namespace,
+                     embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 3 = 0
+              UNION ALL
+              SELECT 'r' || vec_id, 'relation', embedding::DOUBLE[]
+              FROM embeddings WHERE vec_id % 3 = 1
+              UNION ALL
+              SELECT 'c' || vec_id, 'text_chunk', embedding::DOUBLE[]
+              FROM embeddings WHERE vec_id % 3 = 2
+            ),
+            scored AS (
+              SELECT item_id, namespace, list_cosine_similarity(v, qv) AS score
+              FROM u, q
+            )
+            SELECT item_id, namespace, round(score, 3)::DOUBLE AS score
+            FROM scored
+            QUALIFY row_number() OVER (PARTITION BY namespace
+                                       ORDER BY score DESC, item_id ASC) <= 7""",
+        "v9_expand": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+            u AS (
+              SELECT 'e' || vec_id AS item_id, 'entity' AS namespace,
+                     embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 3 = 0
+              UNION ALL
+              SELECT 'r' || vec_id, 'relation', embedding::DOUBLE[]
+              FROM embeddings WHERE vec_id % 3 = 1
+              UNION ALL
+              SELECT 'c' || vec_id, 'text_chunk', embedding::DOUBLE[]
+              FROM embeddings WHERE vec_id % 3 = 2
+            ),
+            topk AS (
+              SELECT item_id, namespace,
+                     round(list_cosine_similarity(v, qv), 3) AS score
+              FROM u, q
+              QUALIFY row_number() OVER (PARTITION BY namespace
+                                         ORDER BY list_cosine_similarity(v, qv) DESC,
+                                                  item_id ASC) <= 7
+            ),
+            hits AS (SELECT item_id AS entity_id, score FROM topk WHERE namespace = 'entity'),
+            links AS (
+              SELECT DISTINCT 'ch' || (doc_id % 40) AS chunk_id,
+                     'e' || (3 * (doc_id % 166)) AS entity_id
+              FROM documents
+            ),
+            linked AS (SELECT chunk_id, score FROM links JOIN hits USING (entity_id))
+            SELECT chunk_id,
+                   round(avg(score) * (1 + ln(1 + count(*)) / 10.0), 9)::DOUBLE AS relevance,
+                   count(*)::BIGINT AS n_connections
+            FROM linked GROUP BY chunk_id
+            ORDER BY relevance DESC, chunk_id ASC LIMIT 10""",
         "v_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
             scored AS (
