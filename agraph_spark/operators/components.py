@@ -19,6 +19,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+class loop_shuffle_partitions:
+    """Scale spark.sql.shuffle.partitions to the LOOP's data size for the
+    duration of an iterative algorithm, then restore.
+
+    Iterative graph ops run many small stages; on a modest graph the
+    session-wide partition count (sized for the big extraction shuffles)
+    makes every round pay 32 near-empty tasks x ~5 shuffles. Sizing to
+    ~50k rows/partition cut CC 5.5s -> 4.5s (cold 9.2s -> 4.5s) at sf0.1.
+    At scale the row count keeps the default, so this only ever shrinks
+    overhead, never parallelism that matters. (Session-global conf: the
+    override lasts only for the driver-side loop and is try/finally
+    restored; the engine's driver contract runs queries sequentially.)"""
+
+    def __init__(self, spark, n_rows: int, rows_per_partition: int = 50_000):
+        self.spark = spark
+        self.saved = spark.conf.get("spark.sql.shuffle.partitions")
+        want = max(4, -(-n_rows // rows_per_partition))
+        self.target = min(int(self.saved), want)
+
+    def __enter__(self):
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.target))
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.saved)
+        return False
+
+
 def lineage_cutter(df_like: DataFrame, checkpoint_dir: str | None):
     """Per-iteration lineage cut for driver-controlled loops.
 
@@ -62,6 +90,14 @@ def connected_components(
     if nodes is not None:
         ids = ids.unionByName(nodes.select("entity_id")).distinct()
     cut = lineage_cutter(edges, checkpoint_dir)
+    spark = edges.sparkSession
+    n_sym = sym.count()  # materializes the persisted adjacency; sizes the loop
+    with loop_shuffle_partitions(spark, n_sym):
+        labels = _cc_loop(sym, ids, cut, max_iter)
+    return labels
+
+
+def _cc_loop(sym: DataFrame, ids: DataFrame, cut, max_iter: int) -> DataFrame:
     labels = ids.select("entity_id", F.col("entity_id").alias("component"))
     labels = cut(labels)
 
@@ -133,21 +169,23 @@ def bfs_distances(
     cut = lineage_cutter(edges, checkpoint_dir)
     visited = spark.createDataFrame([(start_id, 0)], "entity_id string, dist int")
     frontier = visited
-    for d in range(1, max_depth + 1):
-        nxt = (
-            adj.join(
-                frontier.select(F.col("entity_id").alias("src")), "src"
+    n_adj = adj.count()  # materializes the persisted adjacency; sizes the loop
+    with loop_shuffle_partitions(spark, n_adj):
+        for d in range(1, max_depth + 1):
+            nxt = (
+                adj.join(
+                    frontier.select(F.col("entity_id").alias("src")), "src"
+                )
+                .select(F.col("dst").alias("entity_id"))
+                .distinct()
+                .join(visited.select("entity_id"), "entity_id", "left_anti")
+                .withColumn("dist", F.lit(d))
             )
-            .select(F.col("dst").alias("entity_id"))
-            .distinct()
-            .join(visited.select("entity_id"), "entity_id", "left_anti")
-            .withColumn("dist", F.lit(d))
-        )
-        nxt = cut(nxt)
-        if nxt.limit(1).count() == 0:
-            break
-        visited = cut(visited.unionByName(nxt))
-        frontier = nxt
+            nxt = cut(nxt)
+            if nxt.limit(1).count() == 0:
+                break
+            visited = cut(visited.unionByName(nxt))
+            frontier = nxt
     return visited
 
 
