@@ -167,3 +167,27 @@ def test_token_chunk_documents_kernel(spark):
         for j, c in enumerate(pieces):
             want.append((f"c{i}", j, c, "document" if len(pieces) == 1 else "chunk"))
     assert [(r.conv_id, r.chunk_idx, r.content, r.chunk_type) for r in got] == sorted(want)
+
+
+def test_hierarchical_chunker_parity_fuzz(spark):
+    """Hypothesis fuzz: engine == reference TokenChunker on arbitrary text
+    built from separators + words (pure Python, no Spark jobs)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from agraph_spark.operators.chunking import split_text_hierarchical
+    from agraph_spark.refload import FakeSegmentEncoding, load_reference_chunker
+
+    TokenChunker, _ = load_reference_chunker()
+    enc = FakeSegmentEncoding()
+    ref = TokenChunker(chunk_size=12, chunk_overlap=3)
+    piece = st.sampled_from(
+        ["word", "a", "Xy", "图", ".", "! ", "? ", ". ", " ", "\n", "\n\n", "", "longtokenword"])
+    texts = st.lists(piece, min_size=0, max_size=60).map("".join)
+
+    @settings(max_examples=150, deadline=None)
+    @given(texts)
+    def check(t):
+        assert split_text_hierarchical(t, 12, 3, enc) == ref.split_text(t)
+
+    check()

@@ -80,3 +80,15 @@ def test_lang_id_basic(spark):
     )
     rows = df.select("expect", lang_id(F.col("text")).alias("got")).collect()
     assert all(r.expect == r.got for r in rows)
+
+
+def test_spread_guard(spark):
+    """spread(): repartitions a 1-partition source up to defaultParallelism;
+    leaves an already-parallel source untouched (the 100 TB no-op path)."""
+    from agraph_spark.session import spread
+
+    one = spark.createDataFrame([(i,) for i in range(100)], "x long").coalesce(1)
+    assert one.rdd.getNumPartitions() == 1
+    assert spread(one).rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    many = spark.range(1000).repartition(spark.sparkContext.defaultParallelism + 2)
+    assert spread(many) is many
