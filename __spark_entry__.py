@@ -734,6 +734,36 @@ def q_v9_expand(spark, sf_dir):
     return expand_connected_chunks(retrieved, links, k_extra=10)
 
 
+def q_d2_weighted_sim(spark, sf_dir):
+    """D2/D3 scoring over consecutive part-name pairs: the reference's
+    name similarity (exact/substring/levenshtein-ratio) and weighted
+    similarity (0.4 word-Jaccard + 0.2 type + 0.2 alias + 0.2 props)."""
+    from agraph_spark.operators.linking import (
+        name_similarity_col,
+        weighted_similarity_col,
+    )
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    a = part.select(F.col("p_partkey").alias("k"), F.lower("p_name").alias("name_a"))
+    b = part.select((F.col("p_partkey") - 1).alias("k"), F.lower("p_name").alias("name_b"))
+    pairs = a.join(b, "k").withColumn("type_a", F.lit("part")).withColumn(
+        "type_b", F.lit("part"))
+    return pairs.select(
+        "k", "name_a", "name_b",
+        F.round(name_similarity_col(), 6).alias("name_sim"),
+        weighted_similarity_col().alias("weighted_sim"),
+    )
+
+
+def q_f2_relation_filter(spark, sf_dir):
+    """F2 relation query: FK-equality filters over the graph edges."""
+    from agraph_spark.operators.graph_queries import query_relations
+
+    _, edges = _g(spark, sf_dir)
+    return query_relations(edges, head_id="R0", pred="contains").select(
+        "head_id", "tail_id", "pred", "confidence")
+
+
 def q_tpch_topk_orders(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -828,6 +858,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "v10_chat_ctx": q_v10_chat_ctx,
         "v_topk": q_v_topk,
         "v8_union_topk": q_v8_union_topk,
+        "d2_weighted_sim": q_d2_weighted_sim,
+        "f2_relation_filter": q_f2_relation_filter,
         "v9_expand": q_v9_expand,
         "kg_chunks_hier": q_kg_chunks_hier,
         "tpch_q1": q_tpch_q1,
@@ -1389,6 +1421,31 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_connections
             FROM linked GROUP BY chunk_id
             ORDER BY relevance DESC, chunk_id ASC LIMIT 10""",
+        "d2_weighted_sim": """
+            WITH a AS (SELECT p_partkey AS k, lower(p_name) AS name_a FROM part),
+            b AS (SELECT p_partkey - 1 AS k, lower(p_name) AS name_b FROM part),
+            pairs AS (SELECT a.k, name_a, name_b FROM a JOIN b USING (k)),
+            scored AS (
+              SELECT k, name_a, name_b,
+                     CASE WHEN name_a = name_b THEN 1.0
+                          WHEN strpos(name_a, name_b) > 0 OR strpos(name_b, name_a) > 0 THEN 0.8
+                          ELSE 1.0 - levenshtein(name_a, name_b)
+                               / greatest(length(name_a), length(name_b))::DOUBLE
+                     END AS name_sim,
+                     list_distinct(str_split_regex(name_a, '\s+')) AS wa,
+                     list_distinct(str_split_regex(name_b, '\s+')) AS wb
+              FROM pairs
+            )
+            SELECT k, name_a, name_b, round(name_sim, 6)::DOUBLE AS name_sim,
+                   round(0.4 * (CASE WHEN len(wa) = 0 AND len(wb) = 0 THEN 1.0
+                                     WHEN len(wa) = 0 OR len(wb) = 0 THEN 0.0
+                                     ELSE len(list_intersect(wa, wb))
+                                          / len(list_distinct(wa || wb))::DOUBLE END)
+                       + 0.2 * 1.0 + 0.2 * 1.0 + 0.2 * 1.0, 6)::DOUBLE AS weighted_sim
+            FROM scored""",
+        "f2_relation_filter": _GC + """
+            SELECT head_id, tail_id, pred, confidence::DOUBLE AS confidence
+            FROM edges WHERE head_id = 'R0' AND pred = 'contains'""",
         "v_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
             scored AS (
