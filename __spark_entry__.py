@@ -764,6 +764,21 @@ def q_f2_relation_filter(spark, sf_dir):
         "head_id", "tail_id", "pred", "confidence")
 
 
+def q_g_conf_stats(spark, sf_dir):
+    """Confidence aggregates (graph_validator.py:425-450): avg/min entity
+    and relation confidence."""
+    nodes, edges = _g(spark, sf_dir)
+    n = nodes.agg(
+        F.round(F.avg("confidence"), 6).alias("avg_entity_conf"),
+        F.min("confidence").alias("min_entity_conf"),
+    )
+    e = edges.agg(
+        F.round(F.avg("confidence"), 6).alias("avg_relation_conf"),
+        F.min("confidence").alias("min_relation_conf"),
+    )
+    return n.crossJoin(e)
+
+
 def q_tpch_topk_orders(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -859,6 +874,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "v_topk": q_v_topk,
         "v8_union_topk": q_v8_union_topk,
         "d2_weighted_sim": q_d2_weighted_sim,
+        "g_conf_stats": q_g_conf_stats,
         "f2_relation_filter": q_f2_relation_filter,
         "v9_expand": q_v9_expand,
         "kg_chunks_hier": q_kg_chunks_hier,
@@ -1421,6 +1437,12 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_connections
             FROM linked GROUP BY chunk_id
             ORDER BY relevance DESC, chunk_id ASC LIMIT 10""",
+        "g_conf_stats": _GC + """
+            SELECT round(avg(confidence), 6)::DOUBLE AS avg_entity_conf,
+                   min(confidence)::DOUBLE AS min_entity_conf,
+                   (SELECT round(avg(confidence), 6) FROM edges)::DOUBLE AS avg_relation_conf,
+                   (SELECT min(confidence) FROM edges)::DOUBLE AS min_relation_conf
+            FROM nodes""",
         "d2_weighted_sim": """
             WITH a AS (SELECT p_partkey AS k, lower(p_name) AS name_a FROM part),
             b AS (SELECT p_partkey - 1 AS k, lower(p_name) AS name_b FROM part),
