@@ -156,6 +156,8 @@ def chat_context(
     k_chunks: int = 5,
     threshold: float = 0.0,
     content_col: str = "render_text",
+    chunk_entity_links: DataFrame | None = None,
+    k_connected: int = 5,
 ) -> DataFrame:
     """V10 context assembly (knowledge_retriever.py:793-860): the engine
     side of ChatKnowledgeRetriever.chat_llm — per-namespace top-k retrieval
@@ -163,6 +165,11 @@ def chat_context(
     reference interpolates into RAG_SYS_PROMPT. Returns ONE row
     (kg_context, text_content, n_entities, n_relations, n_chunks); only the
     final LLM call stays driver-side (single network-bound request).
+
+    ``chunk_entity_links`` enables the ENHANCED path (achat_enhanced,
+    knowledge_retriever.py:940-1006): chunks connected to the retrieved
+    entities (V9 expansion) join the text_chunk set — relevance-scored,
+    deduplicated against the direct hits, ranked after them.
 
     All assembly is distributed: one scored union pass, window top-k,
     to_json over collected structs — no driver-side loops."""
@@ -204,6 +211,32 @@ def chat_context(
         .where(F.col("rk") <= k_map[F.col("namespace")])
         .select("item_id", "namespace", "content", "score", "rk")
     )
+    if chunk_entity_links is not None:
+        connected = expand_connected_chunks(hits, chunk_entity_links, k_connected)
+        direct_ids = hits.where(F.col("namespace") == "text_chunk").select(
+            F.col("item_id").alias("chunk_id"))
+        extra = (
+            connected.join(direct_ids, "chunk_id", "left_anti")
+            .join(
+                chunks.select(
+                    F.col("chunk_id"), F.col(content_col).alias("content")),
+                "chunk_id",
+            )
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.orderBy(F.desc("relevance"), F.asc("chunk_id"))
+                ) + F.lit(k_chunks),
+            )
+            .select(
+                F.col("chunk_id").alias("item_id"),
+                F.lit("text_chunk").alias("namespace"),
+                "content",
+                F.col("relevance").alias("score"),
+                "rk",
+            )
+        )
+        hits = hits.unionByName(extra)
 
     def _ns_json(ns: str) -> F.Column:
         item = F.when(

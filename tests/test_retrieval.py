@@ -118,3 +118,37 @@ def test_chat_context_assembly(spark):
                 k_relations=2, k_chunks=4, threshold=-1.0)
     assert resp["answer"].startswith("[stub-answer ")
     assert resp["n_chunks"] == 4
+
+
+def test_chat_context_enhanced_connected_chunks(spark):
+    """Enhanced V10 (achat_enhanced): chunks linked to retrieved entities
+    join the text_chunk set, deduplicated against direct hits, ranked after
+    them by V9 relevance."""
+    import json
+
+    from agraph_spark.operators.retrieval import chat_context
+    from agraph_spark.operators.vectors import embed_hash_stub
+    from pyspark.sql import functions as F
+
+    mk = lambda rows, idc: embed_hash_stub(
+        spark.createDataFrame(rows, f"{idc} string, render_text string"))
+    nodes = mk([(f"e{i}", f"entity topic {i}") for i in range(6)], "entity_id")
+    edges = mk([(f"r{i}", f"rel {i}") for i in range(4)], "edge_id")
+    chunks = mk([(f"c{i}", f"chunk body {i}") for i in range(10)], "chunk_id")
+    q = embed_hash_stub(spark.createDataFrame([("topic",)], "render_text string")) \
+        .select(F.col("embedding").alias("query_vec"))
+    # every entity links to chunk c9 (and e0 also to c0)
+    links = spark.createDataFrame(
+        [(f"e{i}", "c9") for i in range(6)] + [("e0", "c0")],
+        "entity_id string, chunk_id string")
+    base = chat_context(nodes, edges, chunks, q, k_entities=3, k_relations=2,
+                        k_chunks=2, threshold=-1.0).collect()[0]
+    enh = chat_context(nodes, edges, chunks, q, k_entities=3, k_relations=2,
+                       k_chunks=2, threshold=-1.0,
+                       chunk_entity_links=links, k_connected=5).collect()[0]
+    assert enh.n_chunks > base.n_chunks
+    ctx = json.loads(enh.kg_context)
+    chunk_ids = [c["id"] for c in ctx["text_chunks"]]
+    assert "c9" in chunk_ids                      # connected chunk included
+    assert len(chunk_ids) == len(set(chunk_ids))  # deduped vs direct hits
+    assert chunk_ids[:base.n_chunks] == [c["id"] for c in json.loads(base.kg_context)["text_chunks"]]
