@@ -779,6 +779,23 @@ def q_g_conf_stats(spark, sf_dir):
     return n.crossJoin(e)
 
 
+def q_g_shortest_path(spark, sf_dir):
+    """Single BFS-shortest path R0 -> min supplier in region 0."""
+    from agraph_spark.operators.graph_queries import shortest_path
+
+    _, edges = _g(spark, sf_dir)
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    target_key = (
+        s.join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .where(F.col("n_regionkey") == 0)
+        .agg(F.min("s_suppkey"))
+        .collect()[0][0]
+    )
+    out = shortest_path(edges, "R0", f"S{target_key}", max_depth=3)
+    return out.select(F.concat_ws("->", "path").alias("path"), "depth")
+
+
 def q_tpch_topk_orders(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -875,6 +892,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "v8_union_topk": q_v8_union_topk,
         "d2_weighted_sim": q_d2_weighted_sim,
         "g_conf_stats": q_g_conf_stats,
+        "g_shortest_path": q_g_shortest_path,
         "f2_relation_filter": q_f2_relation_filter,
         "v9_expand": q_v9_expand,
         "kg_chunks_hier": q_kg_chunks_hier,
@@ -1347,6 +1365,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT array_to_string(path, '->') AS path, (len(path) - 1)::INT AS depth
             FROM walk WHERE node = (SELECT t FROM target)""",
+        "g_shortest_path": _GC + """
+            , adj AS (SELECT DISTINCT head_id AS a, tail_id AS b FROM edges),
+            target AS (
+              SELECT 'S' || min(s_suppkey) AS t
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_regionkey = 0
+            ),
+            walk AS (
+              SELECT 'R0' AS node, ['R0'] AS path
+              UNION ALL
+              SELECT adj.b, path || [adj.b]
+              FROM walk JOIN adj ON walk.node = adj.a
+              WHERE NOT list_contains(path, adj.b)
+                AND len(path) <= 3
+                AND walk.node <> (SELECT t FROM target)
+            )
+            SELECT array_to_string(path, '->') AS path, (len(path) - 1)::INT AS depth
+            FROM walk WHERE node = (SELECT t FROM target)
+            ORDER BY depth ASC, array_to_string(path, '->') ASC LIMIT 1""",
         "v_hybrid": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
             ch AS (

@@ -279,3 +279,22 @@ def recommendations(nodes: DataFrame, edges: DataFrame) -> list[str]:
     if not recs:
         recs.append("Graph structure looks healthy")
     return recs
+
+
+def shortest_path(
+    edges: DataFrame,
+    start_id: str,
+    end_id: str,
+    max_depth: int = 5,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """find_shortest_path (utils.py:150-193): the single BFS-shortest path
+    start->end (ties broken lexicographically on the path), as one row
+    (path, depth). Composition of the bounded all-paths expansion — at the
+    first depth where the target appears the frontier stops growing past
+    it, so the scan is the same BFS frontier walk as the reference."""
+    found = all_paths(edges, start_id, end_id, max_depth, checkpoint_dir)
+    return (
+        found.orderBy(F.asc("depth"), F.asc(F.concat_ws("->", "path")))
+        .limit(1)
+    )

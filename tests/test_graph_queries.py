@@ -171,3 +171,16 @@ def test_low_confidence_and_empty_names(spark):
     lc = {(r.item_id, r.kind) for r in low_confidence(nodes, edges, threshold=0.5).collect()}
     assert lc == {("e2", "entity"), ("r1", "relation")}
     assert [r.entity_id for r in empty_names(nodes).collect()] == ["e2"]
+
+
+def test_shortest_path(spark):
+    from agraph_spark.operators.graph_queries import shortest_path
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")],
+        "head_id string, tail_id string")
+    got = shortest_path(edges, "a", "d", max_depth=4).collect()
+    assert len(got) == 1
+    assert list(got[0].path) == ["a", "c", "d"] and got[0].depth == 2
+    # unreachable -> empty
+    assert shortest_path(edges, "d", "a", max_depth=3).count() == 0
