@@ -56,9 +56,9 @@ def lineage_cutter(df_like: DataFrame, checkpoint_dir: str | None):
     cluster pass ``checkpoint_dir`` (an HDFS/S3-visible path): iterations
     then write reliable checkpoints that survive executor loss."""
     if checkpoint_dir is None:
-        return lambda df: df.localCheckpoint()
+        return lambda df, eager=True: df.localCheckpoint(eager=eager)
     df_like.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-    return lambda df: df.checkpoint()
+    return lambda df, eager=True: df.checkpoint(eager=eager)
 
 
 def connected_components(
@@ -128,7 +128,9 @@ def _cc_loop(sym: DataFrame, ids: DataFrame, cut, max_iter: int) -> DataFrame:
                 ),
             )
         )
-        new_labels = cut(new_labels)
+        # lazy cut: the convergence check below is the materializing
+        # action, so each round runs ONE job instead of two
+        new_labels = cut(new_labels, eager=False)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "entity_id")
