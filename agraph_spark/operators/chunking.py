@@ -239,6 +239,9 @@ def token_chunk_documents(
 
     import pandas as pd
 
+    if overlap >= chunk_size:
+        # chunker.py:36-38 — the reference refuses this configuration
+        raise ValueError("chunk_overlap must be less than chunk_size")
     if mode == "hierarchical":
         try:
             import tiktoken

@@ -71,12 +71,13 @@ def start_first_seen_stream(
     schema: str = "conv_id string, name_norm string",
     key_col: str = "conv_id",
     value_col: str = "name_norm",
+    max_state: int = 100_000,
 ):
     """File-source wiring: appends under input_dir -> first-seen rows
     appended to out_dir/rows, state under out_dir/_checkpoint (restart
     resumes the seen-sets from the checkpoint)."""
     stream = spark.readStream.schema(schema).parquet(input_dir)
-    deduped = stateful_first_seen(stream, key_col, value_col)
+    deduped = stateful_first_seen(stream, key_col, value_col, max_state)
     return (
         deduped.writeStream.outputMode("append")
         .format("parquet")

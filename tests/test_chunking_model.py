@@ -191,3 +191,13 @@ def test_hierarchical_chunker_parity_fuzz(spark):
         assert split_text_hierarchical(t, 12, 3, enc) == ref.split_text(t)
 
     check()
+
+
+def test_token_chunker_rejects_overlap_ge_size(spark):
+    import pytest
+
+    from agraph_spark.operators.chunking import token_chunk_documents
+
+    docs = spark.createDataFrame([("c1", "hello world")], "conv_id string, text string")
+    with pytest.raises(ValueError):
+        token_chunk_documents(docs, chunk_size=10, overlap=10)

@@ -63,3 +63,21 @@ def test_stateful_first_seen_across_batches_and_restart(spark):
         assert got == {("c1", "alice"), ("c1", "bob"), ("c1", "carol"), ("c2", "alice")}
         n = spark.read.parquet(f"{out}/rows").count()
         assert n == 4  # no re-emission of repeats
+
+
+def test_stateful_first_seen_state_bound(spark):
+    """Beyond max_state the seen-set stops growing: overflow values pass
+    through flagged truncated=True and are NOT remembered (documented
+    recall trade — state per key stays bounded on monster conversations)."""
+    from agraph_spark.streaming.stateful import start_first_seen_stream
+
+    with tempfile.TemporaryDirectory() as d:
+        inp, out = os.path.join(d, "in"), os.path.join(d, "out")
+        spark.createDataFrame(
+            [("c1", f"v{i}") for i in range(4)],
+            "conv_id string, name_norm string").write.mode("append").parquet(inp)
+        q = start_first_seen_stream(spark, inp, out, max_state=2)
+        q.awaitTermination(120)
+        rows = spark.read.parquet(f"{out}/rows").collect()
+        assert len(rows) == 4  # all pass through on first sight
+        assert any(r.truncated for r in rows)  # overflow is visible
