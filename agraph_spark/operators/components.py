@@ -129,13 +129,15 @@ def _cc_loop(sym: DataFrame, ids: DataFrame, cut, max_iter: int) -> DataFrame:
             )
         )
         # lazy cut: the convergence check below is the materializing
-        # action, so each round runs ONE job instead of two
+        # action, so each round runs ONE job instead of two. The check is a
+        # FULL count (no limit-1 short-circuit): every partition of
+        # new_labels must be computed in this job or the checkpoint stays
+        # partial and lineage keeps growing across rounds.
         new_labels = cut(new_labels, eager=False)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "entity_id")
             .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
             .count()
         )
         labels = new_labels
