@@ -156,17 +156,54 @@ def ivf_topk(
 
 def render_entity_text(nodes: DataFrame) -> DataFrame:
     """V1: text rendering for embedding — name + description + aliases
-    (graph_embedding.py:529-547) as one concat_ws expression."""
+    (OpenAIEmbedding._entity_to_text, graph_embedding.py:529-537) as one
+    concat_ws expression. Empty description contributes nothing (the
+    reference's truthiness check)."""
     return nodes.withColumn(
         "render_text",
         F.concat_ws(
             " ",
             F.col("name"),
-            F.col("description"),
+            F.when(F.length(F.coalesce("description", F.lit(""))) > 0, F.col("description")),
             F.when(
                 F.size(F.coalesce(F.col("aliases"), F.array())) > 0,
-                F.concat(F.lit("别名: "), F.concat_ws(",", F.col("aliases"))),
+                F.concat(F.lit("别名: "), F.concat_ws(", ", F.col("aliases"))),
             ),
+        ),
+    )
+
+
+def render_relation_text(edges: DataFrame) -> DataFrame:
+    """V1 relation side (OpenAIEmbedding._relation_to_text,
+    graph_embedding.py:539-548): "head pred tail" + optional description;
+    bare pred when endpoints are missing."""
+    base = F.when(
+        F.col("head_name").isNotNull() & F.col("tail_name").isNotNull(),
+        F.concat_ws(" ", "head_name", "pred", "tail_name"),
+    )
+    desc = F.when(
+        F.length(F.coalesce("description", F.lit(""))) > 0, F.col("description")
+    )
+    joined = F.concat_ws(" ", base, desc)
+    return edges.withColumn(
+        "render_text", F.when(F.length(joined) > 0, joined).otherwise(F.col("pred"))
+    )
+
+
+def render_chunk_text(chunks: DataFrame) -> DataFrame:
+    """V1 chunk side (base GraphEmbedding._text_chunk_to_text,
+    graph_embedding.py:345-366): Title/Content/Source labeled parts joined
+    with " | "."""
+    part = lambda label, col: F.when(
+        F.length(F.coalesce(col, F.lit(""))) > 0, F.concat(F.lit(label), col)
+    )
+    return chunks.withColumn(
+        "render_text",
+        F.concat_ws(
+            " | ",
+            part("Title: ", F.col("title") if "title" in chunks.columns else F.lit(None)),
+            part("Content: ", F.col("content")),
+            part("Source: ", F.col("source") if "source" in chunks.columns else F.lit(None)),
         ),
     )
 

@@ -152,3 +152,35 @@ def test_chat_context_enhanced_connected_chunks(spark):
     assert "c9" in chunk_ids                      # connected chunk included
     assert len(chunk_ids) == len(set(chunk_ids))  # deduped vs direct hits
     assert chunk_ids[:base.n_chunks] == [c["id"] for c in json.loads(base.kg_context)["text_chunks"]]
+
+
+def test_render_text_reference_forms(spark):
+    """V1 renderers match the reference's string forms
+    (graph_embedding.py:345-366, 529-548)."""
+    from agraph_spark.operators.vectors import (
+        render_chunk_text,
+        render_entity_text,
+        render_relation_text,
+    )
+
+    nodes = spark.createDataFrame(
+        [("e1", "Acme", "corp desc", ["AC", "acme inc"]),
+         ("e2", "Bare", "", [])],
+        "entity_id string, name string, description string, aliases array<string>")
+    got = {r.entity_id: r.render_text for r in render_entity_text(nodes).collect()}
+    assert got["e1"] == "Acme corp desc 别名: AC, acme inc"
+    assert got["e2"] == "Bare"
+
+    edges = spark.createDataFrame(
+        [("r1", "Acme", "contains", "Paris", "geo note"),
+         ("r2", None, "related_to", None, "")],
+        "edge_id string, head_name string, pred string, tail_name string, description string")
+    got = {r.edge_id: r.render_text for r in render_relation_text(edges).collect()}
+    assert got["r1"] == "Acme contains Paris geo note"
+    assert got["r2"] == "related_to"
+
+    chunks = spark.createDataFrame(
+        [("c1", "T", "body text", "web")],
+        "chunk_id string, title string, content string, source string")
+    assert render_chunk_text(chunks).collect()[0].render_text == \
+        "Title: T | Content: body text | Source: web"
