@@ -53,22 +53,33 @@ def child(cpus: int, n_convs: int) -> None:
         shuffle_partitions=cpus,
     )
     spark.sparkContext.setLogLevel("ERROR")
+    from agraph_spark.caching import release_caches
+
     tdf = transcripts_df(spark, n_convs=n_convs, seed=42).persist()
     n_turns = tdf.count()  # materialize input before the timed section
     # steady-state warmup: spin up python workers / JIT on a small slice so
     # the timed section measures throughput, not process cold-start
     warm = transcripts_df(spark, n_convs=200, seed=1)
     build_kg(warm, cache_documents=False).triples.count()
-    t0 = time.time()
-    build = build_kg(tdf)
-    n_triples = build.triples.count()
-    dt = time.time() - t0
+    # min-of-k: shared-host noise swings a single wall measurement ~20%
+    # (measured 54-70 s for identical local[8] runs); the minimum estimates
+    # the code's capability rather than the host's worst hiccup
+    repeats = int(os.environ.get("SCALING_REPEATS", "2"))
+    times = []
+    for _ in range(repeats):
+        release_caches(spark)
+        t0 = time.time()
+        build = build_kg(tdf)
+        n_triples = build.triples.count()
+        times.append(time.time() - t0)
+    dt = min(times)
     print(json.dumps({
         "cpus": cpus,
         "n_convs": n_convs,
         "n_turns": n_turns,
         "n_triples": n_triples,
         "sec": round(dt, 3),
+        "all_secs": [round(t, 3) for t in times],
         "triples_per_sec": round(n_triples / dt, 1),
     }))
 
