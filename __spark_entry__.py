@@ -796,6 +796,13 @@ def q_g_shortest_path(spark, sf_dir):
     return out.select(F.concat_ws("->", "path").alias("path"), "depth")
 
 
+def q_g_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank over the TPC-H graph (recursive-CTE
+    oracle; per-round rounding keeps both engines bit-identical)."""
+    nodes, edges = _g(spark, sf_dir)
+    return A.pagerank(nodes, edges, iterations=10)
+
+
 def q_tpch_topk_orders(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -893,6 +900,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "d2_weighted_sim": q_d2_weighted_sim,
         "g_conf_stats": q_g_conf_stats,
         "g_shortest_path": q_g_shortest_path,
+        "g_pagerank": q_g_pagerank,
         "f2_relation_filter": q_f2_relation_filter,
         "v9_expand": q_v9_expand,
         "kg_chunks_hier": q_kg_chunks_hier,
@@ -1365,6 +1373,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT array_to_string(path, '->') AS path, (len(path) - 1)::INT AS depth
             FROM walk WHERE node = (SELECT t FROM target)""",
+        "g_pagerank": _GC + """
+            , deg AS (SELECT head_id, count(*)::DOUBLE AS outd FROM edges GROUP BY head_id),
+            adj AS (SELECT e.head_id AS h, e.tail_id AS t, d.outd
+                    FROM edges e JOIN deg d ON e.head_id = d.head_id),
+            pr AS (
+              SELECT entity_id, 1.0::DOUBLE AS rank, 0 AS it FROM nodes
+              UNION ALL
+              SELECT p.entity_id,
+                     round(0.15 + 0.85 * coalesce((
+                       SELECT sum(q.rank / a.outd) FROM pr q JOIN adj a ON q.entity_id = a.h
+                       WHERE a.t = p.entity_id), 0), 9)::DOUBLE,
+                     p.it + 1
+              FROM pr p WHERE p.it < 10
+            )
+            SELECT entity_id, rank FROM pr WHERE it = 10""",
         "g_shortest_path": _GC + """
             , adj AS (SELECT DISTINCT head_id AS a, tail_id AS b FROM edges),
             target AS (

@@ -113,3 +113,31 @@ def test_reliable_checkpoint_dir(spark, tmp_path):
     b2 = {(r.entity_id, r.dist)
           for r in bfs_distances(edges, "a", checkpoint_dir=ckpt).collect()}
     assert b1 == b2
+
+
+def test_pagerank_matches_power_iteration(spark):
+    """Distributed PageRank == a driver-side power iteration with the same
+    formula, on a small multigraph (parallel edges carry mass twice)."""
+    from agraph_spark.operators.analytics import pagerank
+
+    edge_rows = [("a", "b"), ("b", "c"), ("b", "a"), ("c", "a"), ("c", "a")]
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",), ("iso",)], "entity_id string")
+    edges = spark.createDataFrame(edge_rows, "head_id string, tail_id string")
+    got = {r.entity_id: r.rank for r in pagerank(nodes, edges, iterations=10).collect()}
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def round_half_up(x, nd=9):  # Spark/DuckDB ROUND; python round() is half-even
+        return float(Decimal(repr(x)).quantize(Decimal(f"1e-{nd}"), rounding=ROUND_HALF_UP))
+
+    ranks = {n: 1.0 for n in ["a", "b", "c", "iso"]}
+    outd = {}
+    for h, _ in edge_rows:
+        outd[h] = outd.get(h, 0) + 1
+    for _ in range(10):
+        recv = {n: 0.0 for n in ranks}
+        for h, t in edge_rows:
+            recv[t] += ranks[h] / outd[h]
+        ranks = {n: round_half_up(0.15 + 0.85 * recv[n]) for n in ranks}
+    assert got == ranks
+    assert got["iso"] == 0.15  # no in-edges -> floor rank
