@@ -803,6 +803,36 @@ def q_g_pagerank(spark, sf_dir):
     return A.pagerank(nodes, edges, iterations=10)
 
 
+def q_ev_sliding(spark, sf_dir):
+    """Sliding-window aggregation (2h windows, 1h slide): each event lands
+    in two epoch-aligned windows."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "2 hours", "1 hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("win_start"),
+            "event_type", "n", "sum_value",
+        )
+    )
+
+
+def q_g_degree_percentiles(spark, sf_dir):
+    """Exact degree percentiles (median/p90/p99) — distribution summary
+    beyond the reference's avg/max/min (linear-interpolation percentile,
+    bit-identical to DuckDB quantile_cont)."""
+    nodes, edges = _g(spark, sf_dir)
+    deg = A.degree_per_node(nodes, edges)
+    return deg.agg(
+        F.expr("percentile(degree, 0.5)").alias("p50"),
+        F.expr("percentile(degree, 0.9)").alias("p90"),
+        F.expr("percentile(degree, 0.99)").alias("p99"),
+    )
+
+
 def q_tpch_topk_orders(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -901,6 +931,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "g_conf_stats": q_g_conf_stats,
         "g_shortest_path": q_g_shortest_path,
         "g_pagerank": q_g_pagerank,
+        "ev_sliding": q_ev_sliding,
+        "g_degree_percentiles": q_g_degree_percentiles,
         "f2_relation_filter": q_f2_relation_filter,
         "v9_expand": q_v9_expand,
         "kg_chunks_hier": q_kg_chunks_hier,
@@ -1215,6 +1247,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(lower(regexp_replace(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g'))) AS fp,
                    count(*)::BIGINT AS cnt, min(doc_id) AS keeper_id
             FROM u GROUP BY 1 HAVING count(*) > 1""",
+        "g_degree_percentiles": _GC + _DEGREE_SQL_TAIL + """
+            SELECT quantile_cont(degree, 0.5)::DOUBLE AS p50,
+                   quantile_cont(degree, 0.9)::DOUBLE AS p90,
+                   quantile_cont(degree, 0.99)::DOUBLE AS p99
+            FROM deg""",
+        "ev_sliding": """
+            WITH w AS (
+              SELECT date_trunc('hour', ts) - to_hours(k) AS win_start, event_type, value
+              FROM events, unnest([0, 1]) AS t(k)
+            )
+            SELECT win_start, event_type, count(*)::BIGINT AS n,
+                   round(sum(value), 2)::DOUBLE AS sum_value
+            FROM w GROUP BY 1, 2""",
         "ev_window": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*)::BIGINT AS n,
