@@ -797,10 +797,11 @@ def q_g_shortest_path(spark, sf_dir):
 
 
 def q_g_pagerank(spark, sf_dir):
-    """Fixed-iteration PageRank over the TPC-H graph (recursive-CTE
-    oracle; per-round rounding keeps both engines bit-identical)."""
+    """Fixed-iteration PageRank over the TPC-H graph, fixed-point mode:
+    integer ppb arithmetic is order-independent, so the recursive-CTE
+    oracle matches bit-exactly at any partitioning."""
     nodes, edges = _g(spark, sf_dir)
-    return A.pagerank(nodes, edges, iterations=10)
+    return A.pagerank(nodes, edges, iterations=10, fixed_point=True)
 
 
 def q_ev_sliding(spark, sf_dir):
@@ -830,6 +831,19 @@ def q_g_degree_percentiles(spark, sf_dir):
         F.expr("percentile(degree, 0.5)").alias("p50"),
         F.expr("percentile(degree, 0.9)").alias("p90"),
         F.expr("percentile(degree, 0.99)").alias("p99"),
+    )
+
+
+def q_ev_rollup(spark, sf_dir):
+    """ROLLUP over (event_type, hour): per-cell, per-type, and grand-total
+    aggregates in one pass (partial-aggregate friendly at scale)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn(
+            "hour", F.date_trunc("hour", F.col("ts").cast("timestamp")).cast("timestamp_ntz")
+        )
+        .rollup("event_type", "hour")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
     )
 
 
@@ -933,6 +947,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "g_pagerank": q_g_pagerank,
         "ev_sliding": q_ev_sliding,
         "g_degree_percentiles": q_g_degree_percentiles,
+        "ev_rollup": q_ev_rollup,
         "f2_relation_filter": q_f2_relation_filter,
         "v9_expand": q_v9_expand,
         "kg_chunks_hier": q_kg_chunks_hier,
@@ -1247,6 +1262,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(lower(regexp_replace(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g'))) AS fp,
                    count(*)::BIGINT AS cnt, min(doc_id) AS keeper_id
             FROM u GROUP BY 1 HAVING count(*) > 1""",
+        "ev_rollup": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   count(*)::BIGINT AS n, round(sum(value), 2)::DOUBLE AS sum_value
+            FROM events GROUP BY ROLLUP (event_type, date_trunc('hour', ts))""",
         "g_degree_percentiles": _GC + _DEGREE_SQL_TAIL + """
             SELECT quantile_cont(degree, 0.5)::DOUBLE AS p50,
                    quantile_cont(degree, 0.9)::DOUBLE AS p90,
@@ -1419,16 +1438,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT array_to_string(path, '->') AS path, (len(path) - 1)::INT AS depth
             FROM walk WHERE node = (SELECT t FROM target)""",
         "g_pagerank": _GC + """
-            , deg AS (SELECT head_id, count(*)::DOUBLE AS outd FROM edges GROUP BY head_id),
+            , deg AS (SELECT head_id, count(*)::BIGINT AS outd FROM edges GROUP BY head_id),
             adj AS (SELECT e.head_id AS h, e.tail_id AS t, d.outd
                     FROM edges e JOIN deg d ON e.head_id = d.head_id),
             pr AS (
-              SELECT entity_id, 1.0::DOUBLE AS rank, 0 AS it FROM nodes
+              SELECT entity_id, 1000000000::BIGINT AS rank, 0 AS it FROM nodes
               UNION ALL
               SELECT p.entity_id,
-                     round(0.15 + 0.85 * coalesce((
-                       SELECT sum(q.rank / a.outd) FROM pr q JOIN adj a ON q.entity_id = a.h
-                       WHERE a.t = p.entity_id), 0), 9)::DOUBLE,
+                     (150000000 + coalesce((
+                       SELECT sum(q.rank // a.outd) FROM pr q JOIN adj a ON q.entity_id = a.h
+                       WHERE a.t = p.entity_id), 0) * 85 // 100)::BIGINT,
                      p.it + 1
               FROM pr p WHERE p.it < 10
             )

@@ -132,6 +132,7 @@ def pagerank(
     iterations: int = 10,
     damping: float = 0.85,
     checkpoint_dir: str | None = None,
+    fixed_point: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank (unnormalized variant: seed 1.0,
     r' = (1-d) + d * sum_in(r/outdeg); parallel edges each carry mass).
@@ -139,9 +140,15 @@ def pagerank(
     Beyond the reference's degree-based importance (A7) — the standard
     importance upgrade for a KG at scale. Same loop machinery as connected
     components: cached adjacency, loop-sized shuffle partitions, per-round
-    lineage cuts (reliable with checkpoint_dir). Ranks are rounded to 9
-    decimals each round so results are bitwise-deterministic across
-    engines and partitionings (summation-order noise sits at ~1e-16)."""
+    lineage cuts (reliable with checkpoint_dir).
+
+    ``fixed_point=True`` runs the whole iteration in integer
+    parts-per-billion (floor division per edge, exact BIGINT sums, damping
+    as *85 div 100): addition is order-INDEPENDENT, so ranks are
+    bit-identical across partitionings, reruns, and engines — the
+    reproducibility mode (and the DuckDB-oracle mode; float sums round-
+    flaked at 1e-9 under partition nondeterminism). Float mode (default)
+    rounds to 9 decimals per round."""
     from ..caching import track
     from .components import lineage_cutter, loop_shuffle_partitions
 
@@ -151,25 +158,36 @@ def pagerank(
     )
     cut = lineage_cutter(edges, checkpoint_dir)
     n_adj = adj.count()
-    ranks = nodes.select("entity_id", F.lit(1.0).alias("rank"))
+    if fixed_point:
+        d_num = int(round(damping * 100))
+        seed = F.lit(1_000_000_000).cast("long")
+        base = F.lit((100 - d_num) * 10_000_000).cast("long")
+        ranks = nodes.select("entity_id", seed.alias("rank"))
+    else:
+        ranks = nodes.select("entity_id", F.lit(1.0).alias("rank"))
     with loop_shuffle_partitions(nodes.sparkSession, n_adj):
         ranks = cut(ranks)
         for _ in range(iterations):
-            recv = (
-                adj.join(ranks.withColumnRenamed("entity_id", "head_id"), "head_id")
-                .groupBy(F.col("tail_id").alias("entity_id"))
-                .agg(F.sum(F.col("rank") / F.col("outd")).alias("recv"))
-            )
+            j = adj.join(ranks.withColumnRenamed("entity_id", "head_id"), "head_id")
+            if fixed_point:
+                recv = j.groupBy(F.col("tail_id").alias("entity_id")).agg(
+                    F.sum(F.expr("rank div outd")).alias("recv")
+                )
+                new_rank = base + F.expr(
+                    f"(coalesce(recv, 0L) * {d_num}) div 100"
+                )
+            else:
+                recv = j.groupBy(F.col("tail_id").alias("entity_id")).agg(
+                    F.sum(F.col("rank") / F.col("outd")).alias("recv")
+                )
+                new_rank = F.round(
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce("recv", F.lit(0.0)),
+                    9,
+                )
             ranks = cut(
                 nodes.select("entity_id")
                 .join(recv, "entity_id", "left")
-                .select(
-                    "entity_id",
-                    F.round(
-                        F.lit(1.0 - damping)
-                        + F.lit(damping) * F.coalesce("recv", F.lit(0.0)),
-                        9,
-                    ).alias("rank"),
-                )
+                .select("entity_id", new_rank.alias("rank"))
             )
     return ranks

@@ -141,3 +141,23 @@ def test_pagerank_matches_power_iteration(spark):
         ranks = {n: round_half_up(0.15 + 0.85 * recv[n]) for n in ranks}
     assert got == ranks
     assert got["iso"] == 0.15  # no in-edges -> floor rank
+
+
+def test_pagerank_fixed_point_tracks_float(spark):
+    """Fixed-point (integer ppb) ranks match float ranks to ~1e-6 and are
+    identical across repartitionings (order-independent sums)."""
+    from agraph_spark.operators.analytics import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("b", "a"), ("c", "a"), ("c", "a")],
+        "head_id string, tail_id string")
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",)], "entity_id string")
+    fl = {r.entity_id: r.rank for r in pagerank(nodes, edges, iterations=10).collect()}
+    fp = {r.entity_id: r.rank for r in
+          pagerank(nodes, edges, iterations=10, fixed_point=True).collect()}
+    for n in fl:
+        assert abs(fl[n] - fp[n] / 1e9) < 1e-5, (n, fl[n], fp[n])
+    fp2 = {r.entity_id: r.rank for r in
+           pagerank(nodes.repartition(7), edges.repartition(5),
+                    iterations=10, fixed_point=True).collect()}
+    assert fp == fp2
