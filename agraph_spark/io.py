@@ -242,8 +242,11 @@ def _xlsx_to_text(raw: bytes) -> str:
             root = ET.fromstring(z.read("xl/sharedStrings.xml"))
             for si in root.findall(f"{ns}si"):
                 shared.append("".join(t.text or "" for t in si.iter(f"{ns}t")))
-        sheets = sorted(n for n in z.namelist()
-                        if _re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n))
+        sheets = sorted(
+            (n for n in z.namelist()
+             if _re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+            key=lambda n: int(_re.search(r"(\d+)", n).group(1)),  # sheet2 < sheet10
+        )
         for idx, name in enumerate(sheets, 1):
             root = ET.fromstring(z.read(name))
             rows = []

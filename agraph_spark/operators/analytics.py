@@ -148,7 +148,10 @@ def pagerank(
     bit-identical across partitionings, reruns, and engines — the
     reproducibility mode (and the DuckDB-oracle mode; float sums round-
     flaked at 1e-9 under partition nondeterminism). Float mode (default)
-    rounds to 9 decimals per round."""
+    rounds to 9 decimals per round. Fixed-point overflow bound: a node's
+    recv is < max_in_degree * 1e9, so BIGINT is safe up to ~9e9 in-edges
+    per node — beyond any real graph's hottest node (and the float mode
+    has no such bound)."""
     from ..caching import track
     from .components import lineage_cutter, loop_shuffle_partitions
 
