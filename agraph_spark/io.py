@@ -199,7 +199,14 @@ def _html_to_text(raw: bytes) -> str:
     not installed here)."""
     from html.parser import HTMLParser
 
-    skip_tags = {"script", "style", "nav", "header", "footer", "aside", "meta", "link"}
+    # Only container tags whose end tag the parser will actually see may
+    # increment depth. Void elements (<meta>, <link>, <br>, ...) never emit
+    # handle_endtag, so counting them would leave depth stuck >0 and drop
+    # every byte after the first bare <meta charset=...> — i.e. nearly all
+    # real-world HTML. They contain no text, so skipping them is a no-op.
+    skip_tags = {"script", "style", "nav", "header", "footer", "aside"}
+    void_tags = {"meta", "link", "br", "hr", "img", "input", "area", "base",
+                 "col", "embed", "source", "track", "wbr"}
 
     class _Extract(HTMLParser):
         def __init__(self):
@@ -208,7 +215,7 @@ def _html_to_text(raw: bytes) -> str:
             self.parts: list[str] = []
 
         def handle_starttag(self, tag, attrs):
-            if tag in skip_tags:
+            if tag in skip_tags and tag not in void_tags:
                 self.depth += 1
 
         def handle_endtag(self, tag):

@@ -125,7 +125,7 @@ def _char_pack(text: str, limit: int, count) -> list[str]:
     return out
 
 
-def _pack_parts(text: str, seps: list[str], limit: int, count, top: bool) -> list[str]:
+def _pack_parts(text: str, seps: list[str], limit: int, count) -> list[str]:
     """Greedy packing shared by the top level and the recursion
     (chunker.py:63-172): re-attach the separator to all but the last part,
     accumulate while <= limit, strip on emit; an oversize single part
@@ -138,7 +138,7 @@ def _pack_parts(text: str, seps: list[str], limit: int, count, top: bool) -> lis
     parts = text.split(sep)
     if len(parts) <= 1:
         # top level tries the next separator against the WHOLE text
-        return _pack_parts(text, rest, limit, count, top)
+        return _pack_parts(text, rest, limit, count)
     out, cur = [], ""
     for i, part in enumerate(parts):
         if i < len(parts) - 1:
@@ -149,7 +149,7 @@ def _pack_parts(text: str, seps: list[str], limit: int, count, top: bool) -> lis
         if cur.strip():
             out.append(cur.strip())
         if count(part) > limit:
-            out.extend(_pack_parts(part, rest, limit, count, False))
+            out.extend(_pack_parts(part, rest, limit, count))
             cur = ""
         else:
             cur = part
@@ -186,7 +186,7 @@ def split_text_hierarchical(
         toks = encoding.encode(t)
         return t if len(toks) <= k else str(encoding.decode(toks[-k:]))
 
-    chunks = _pack_parts(text, SEPARATORS, chunk_size, count, True)
+    chunks = _pack_parts(text, SEPARATORS, chunk_size, count)
     chunks = _add_overlaps(chunks, overlap, chunk_size, count, suffix)
     return [c for c in chunks if c.strip()]
 

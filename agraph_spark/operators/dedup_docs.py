@@ -175,7 +175,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket_size: int | None = 5000,
-    log_dropped: bool = False,
+    log_dropped: bool = True,
 ) -> DataFrame:
     """MinHash-LSH near-dup candidates verified by estimated Jaccard.
 
@@ -271,7 +271,7 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     band_bits: int = 16,
     max_bucket_size: int | None = 5000,
-    log_dropped: bool = False,
+    log_dropped: bool = True,
     **kw,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit bands

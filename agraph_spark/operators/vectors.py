@@ -192,18 +192,46 @@ def render_relation_text(edges: DataFrame) -> DataFrame:
 
 def render_chunk_text(chunks: DataFrame) -> DataFrame:
     """V1 chunk side (base GraphEmbedding._text_chunk_to_text,
-    graph_embedding.py:345-366): Title/Content/Source labeled parts joined
-    with " | "."""
+    graph_embedding.py:345-370): Title/Content/Source/Type/Metadata labeled
+    parts joined with " | ". chunk_type defaults to "paragraph" in the
+    reference TextChunk, so the Type part is always present there — a
+    missing chunk_type column here takes the same default. Metadata renders
+    as "k: v" pairs comma-joined from a map column when one exists."""
+    cols = chunks.columns
     part = lambda label, col: F.when(
         F.length(F.coalesce(col, F.lit(""))) > 0, F.concat(F.lit(label), col)
+    )
+    chunk_type = (
+        F.coalesce(F.col("chunk_type"), F.lit("paragraph"))
+        if "chunk_type" in cols
+        else F.lit("paragraph")
+    )
+    meta = (
+        F.when(
+            F.size(F.coalesce(F.col("metadata"), F.create_map())) > 0,
+            F.concat(
+                F.lit("Metadata: "),
+                F.concat_ws(
+                    ", ",
+                    F.transform(
+                        F.map_entries("metadata"),
+                        lambda e: F.concat_ws(": ", e["key"], e["value"]),
+                    ),
+                ),
+            ),
+        )
+        if "metadata" in cols
+        else F.lit(None)
     )
     return chunks.withColumn(
         "render_text",
         F.concat_ws(
             " | ",
-            part("Title: ", F.col("title") if "title" in chunks.columns else F.lit(None)),
+            part("Title: ", F.col("title") if "title" in cols else F.lit(None)),
             part("Content: ", F.col("content")),
-            part("Source: ", F.col("source") if "source" in chunks.columns else F.lit(None)),
+            part("Source: ", F.col("source") if "source" in cols else F.lit(None)),
+            part("Type: ", chunk_type),
+            meta,
         ),
     )
 

@@ -12,8 +12,8 @@ Reference counterpart: the incremental builder's seen-set
 (/root/reference/agraph/builders/llm_builders.py:616-649 upsert semantics);
 here the set is per-key distributed state, bounded by ``max_state`` per key
 (a monster conversation cannot grow one executor's state without limit —
-beyond the cap new values pass through unseen, logged in the emitted
-``truncated`` flag)."""
+beyond the cap new values are emitted at most once per micro-batch with
+``truncated=true``; consumers must dedup truncated rows across batches)."""
 
 from __future__ import annotations
 
@@ -37,22 +37,32 @@ def stateful_first_seen(
 
     def fn(key, pdfs, state: GroupState):
         seen = set(state.get[0]) if state.exists else set()
+        # Past the cap the persistent set stops growing, so first-seen
+        # degrades to "first seen per MICRO-BATCH" for overflow values: the
+        # batch-local set below dedups within the batch, and each emitted
+        # overflow row carries truncated=true so downstream consumers know
+        # those rows need a batch-spanning dedup of their own. (Silently
+        # re-emitting every occurrence — the round-2 behavior — inverted the
+        # contract to pass-through; ADVICE r2.)
+        batch_seen: set[str] = set()
         new_vals: list[str] = []
-        truncated = False
+        flags: list[bool] = []  # per-ROW: only overflow rows carry true
         for pdf in pdfs:
             for v in pdf[value_col].dropna():
-                if v in seen:
+                if v in seen or v in batch_seen:
                     continue
                 if len(seen) >= max_state:
-                    truncated = True
+                    batch_seen.add(v)
                     new_vals.append(v)
+                    flags.append(True)
                     continue
                 seen.add(v)
                 new_vals.append(v)
+                flags.append(False)
         state.update((sorted(seen),))
         if new_vals:
             yield pd.DataFrame(
-                {key_col: key[0], value_col: new_vals, "truncated": truncated}
+                {key_col: key[0], value_col: new_vals, "truncated": flags}
             )
 
     return grouped_stream.groupBy(key_col).applyInPandasWithState(

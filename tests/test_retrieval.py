@@ -179,8 +179,17 @@ def test_render_text_reference_forms(spark):
     assert got["r1"] == "Acme contains Paris geo note"
     assert got["r2"] == "related_to"
 
+    # reference TextChunk.chunk_type defaults to "paragraph", so the Type
+    # part is ALWAYS present in _text_chunk_to_text output (ADVICE r2)
     chunks = spark.createDataFrame(
         [("c1", "T", "body text", "web")],
         "chunk_id string, title string, content string, source string")
     assert render_chunk_text(chunks).collect()[0].render_text == \
-        "Title: T | Content: body text | Source: web"
+        "Title: T | Content: body text | Source: web | Type: paragraph"
+
+    typed = spark.createDataFrame(
+        [("c2", None, "body", None, "code", {"lang": "py", "n": "3"})],
+        "chunk_id string, title string, content string, source string, "
+        "chunk_type string, metadata map<string,string>")
+    assert render_chunk_text(typed).collect()[0].render_text == \
+        "Content: body | Type: code | Metadata: lang: py, n: 3"

@@ -152,17 +152,20 @@ def test_salted_aggregations(spark):
 
 
 def test_read_html_documents(spark, tmp_path):
-    html = """<html><head><title>T</title><style>body{x}</style>
+    # bare <meta>/<link> (void elements, no end tag) must not swallow the
+    # body — real-world HTML regression from round 2 (ADVICE high)
+    html = """<html><head><meta charset="utf-8">
+    <link rel="stylesheet" href="s.css"><title>T</title><style>body{x}</style>
     <script>var a=1;</script></head>
     <body><nav>menu</nav><h1>Team Page</h1>
-    <p>Alice Johnson works at Acme Corp.</p>
+    <p>Alice Johnson works at<br>Acme Corp.</p>
     <footer>foot</footer></body></html>"""
     f = tmp_path / "team.html"
     f.write_text(html)
     rows = read_documents(spark, str(f)).collect()
     assert len(rows) == 1 and rows[0].conv_id == "team.html"
     t = rows[0].text
-    assert "Team Page" in t and "Alice Johnson works at Acme Corp." in t
+    assert "Team Page" in t and "Alice Johnson works at" in t and "Acme Corp." in t
     assert "var a=1" not in t and "menu" not in t and "foot" not in t
 
 

@@ -73,11 +73,26 @@ def test_stateful_first_seen_state_bound(spark):
 
     with tempfile.TemporaryDirectory() as d:
         inp, out = os.path.join(d, "in"), os.path.join(d, "out")
+        # v3 repeated within the first batch: overflow values are emitted at
+        # most ONCE per micro-batch (batch-local dedup), flagged truncated
         spark.createDataFrame(
-            [("c1", f"v{i}") for i in range(4)],
-            "conv_id string, name_norm string").write.mode("append").parquet(inp)
+            [("c1", f"v{i}") for i in range(4)] + [("c1", "v3")],
+            "conv_id string, name_norm string"
+        ).coalesce(1).write.mode("append").parquet(inp)  # one file: row order deterministic
         q = start_first_seen_stream(spark, inp, out, max_state=2)
         q.awaitTermination(120)
         rows = spark.read.parquet(f"{out}/rows").collect()
-        assert len(rows) == 4  # all pass through on first sight
-        assert any(r.truncated for r in rows)  # overflow is visible
+        assert len(rows) == 4  # 2 remembered + 2 overflow, batch-deduped
+        assert sum(r.truncated for r in rows) == 2  # overflow is visible
+
+        # overflow value repeated in a LATER batch: re-emitted (state did not
+        # remember it) but still flagged so consumers dedup truncated rows
+        spark.createDataFrame(
+            [("c1", "v3"), ("c1", "v0")],
+            "conv_id string, name_norm string").coalesce(1).write.mode("append").parquet(inp)
+        q2 = start_first_seen_stream(spark, inp, out, max_state=2)
+        q2.awaitTermination(120)
+        rows = spark.read.parquet(f"{out}/rows").collect()
+        vals = sorted((r.name_norm, bool(r.truncated)) for r in rows)
+        assert ("v0", False) in vals and vals.count(("v0", False)) == 1  # remembered
+        assert vals.count(("v3", True)) == 2  # once per batch, flagged
