@@ -196,7 +196,7 @@ def q_g_khop(spark, sf_dir):
 
 def q_g_cycles(spark, sf_dir):
     _, edges = _g(spark, sf_dir)
-    return CC.bounded_cycles(edges, max_len=3)
+    return CC.bounded_cycles(edges, max_len=5)
 
 
 def q_g_stats(spark, sf_dir):
@@ -1103,12 +1103,16 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT entity_id, dist AS hop FROM bfs WHERE dist BETWEEN 1 AND 2",
         "g_cycles": _GC + """
             , e AS (SELECT DISTINCT head_id a, tail_id b FROM edges)
-            SELECT DISTINCT x.a AS cycle_start, 2 AS cycle_len
-            FROM e x JOIN e y ON x.b = y.a AND y.b = x.a WHERE x.a < x.b
-            UNION ALL
-            SELECT DISTINCT x.a, 3
-            FROM e x JOIN e y ON x.b = y.a JOIN e z ON y.b = z.a AND z.b = x.a
-            WHERE x.a < x.b AND x.a < y.b""",
+            , paths AS (
+              SELECT a AS start, b AS last, [a, b] AS nodes, 1 AS len
+              FROM e WHERE b > a
+              UNION ALL
+              SELECT p.start, x.b, list_append(p.nodes, x.b), p.len + 1
+              FROM paths p JOIN e x ON p.last = x.a
+              WHERE p.len < 4 AND x.b > p.start AND NOT list_contains(p.nodes, x.b)
+            )
+            SELECT DISTINCT p.start AS cycle_start, (p.len + 1)::INT AS cycle_len
+            FROM paths p JOIN e c ON p.last = c.a AND c.b = p.start""",
         "g_stats": _GC + """
             SELECT (SELECT count(*) FROM nodes)::BIGINT AS entity_count,
                    (SELECT count(*) FROM edges)::BIGINT AS relation_count""",

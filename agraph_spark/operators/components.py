@@ -193,34 +193,106 @@ def bfs_distances(
     return visited
 
 
-def bounded_cycles(edges: DataFrame, max_len: int = 3) -> DataFrame:
-    """A11 (bounded variant): directed cycles of length 2..max_len as
+def _cap_frontier_pivot(
+    frontier: DataFrame, cap: int | None, log_dropped: bool
+) -> DataFrame:
+    """Bound the paths-per-pivot fan-in before a frontier⋈edges extension.
+
+    The extension joins frontier.last = edges.a, so a hub node with P
+    incoming paths and out-degree D contributes P×D rows — the quadratic
+    wedge blowup round 2's verdict flagged. Keeping at most ``cap`` paths
+    per pivot (deterministically: smallest ``nodes`` arrays first, so
+    repeated runs and the SQL oracle agree whenever nothing is dropped)
+    bounds every extension to cap×D. Same window-count pattern as
+    dedup_docs._cap_buckets: one shuffle on the SAME key the join uses, so
+    the exchange is reused."""
+    if cap is None:
+        return frontier
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("last").orderBy("nodes")
+    ranked = frontier.withColumn("_pp", F.row_number().over(w))
+    if log_dropped:
+        import logging
+
+        n_drop = ranked.where(F.col("_pp") > cap).count()
+        if n_drop:
+            logging.getLogger(__name__).warning(
+                "bounded_cycles: dropping %d paths above cap %d per pivot "
+                "(cycles through capped hubs may be missed)", n_drop, cap
+            )
+    return ranked.where(F.col("_pp") <= cap).drop("_pp")
+
+
+def bounded_cycles(
+    edges: DataFrame,
+    max_len: int = 5,
+    max_paths_per_pivot: int | None = 100_000,
+    log_dropped: bool = True,
+) -> DataFrame:
+    """A11: directed simple cycles of length 2..max_len as
     (cycle_start, cycle_len), canonicalized so cycle_start = min node id in
-    the cycle (one row per cycle instance set). Reference finds DFS cycles
-    <= length 5 (graph_path_finder.py:224-280); bounded self-join expansion
-    here, distinct-ed."""
+    the cycle (one row per (start, length) pair). Reference DFS finds cycles
+    <= length 5 (graph_path_finder.py:224-280, duplicated in
+    graph_validator.py:286-327).
+
+    Frontier expansion: paths start→…→last where every non-start node >
+    start (the canonical-rotation filter — each cycle is enumerated exactly
+    once, anchored at its minimum node) and nodes are distinct; each level
+    closes against a last→start edge and extends one hop. Two scale guards:
+
+    - semantics-preserving trim: a node on a directed cycle must have BOTH
+      in- and out-edges, so edges touching source-only/sink-only nodes are
+      semi-joined away up front (most KG leaf entities vanish here);
+    - hot-pivot cap (``max_paths_per_pivot``): bounds the per-node path
+      fan-in before each extension join (see _cap_frontier_pivot). Capping
+      drops cycles only through hubs hotter than the cap, and logs it.
+    """
+    from ..caching import track
+
     e = edges.select(F.col("head_id").alias("a"), F.col("tail_id").alias("b")).distinct()
-    out = None
-    # len 2: a->b->a
-    c2 = (
-        e.alias("x")
-        .join(e.alias("y"), (F.col("x.b") == F.col("y.a")) & (F.col("y.b") == F.col("x.a")))
-        .where(F.col("x.a") < F.col("x.b"))
-        .select(F.col("x.a").alias("cycle_start"), F.lit(2).alias("cycle_len"))
+    # trim to nodes with both in- and out-edges (cycle membership requires both)
+    both = (
+        e.select(F.col("a").alias("n"))
+        .join(e.select(F.col("b").alias("n")), "n", "left_semi")
         .distinct()
     )
-    out = c2
-    if max_len >= 3:
-        c3 = (
-            e.alias("x")
-            .join(e.alias("y"), F.col("x.b") == F.col("y.a"))
+    e = track(
+        e.join(both.select(F.col("n").alias("a")), "a", "left_semi")
+        .join(both.select(F.col("n").alias("b")), "b", "left_semi")
+        .select("a", "b")
+    )
+    frontier = e.where(F.col("b") > F.col("a")).select(
+        F.col("a").alias("start"), F.col("b").alias("last"),
+        F.array("a", "b").alias("nodes"),
+    )
+    out = None
+    for length in range(2, max_len + 1):
+        frontier = track(frontier)
+        closed = (
+            frontier.alias("p")
             .join(
-                e.alias("z"),
-                (F.col("y.b") == F.col("z.a")) & (F.col("z.b") == F.col("x.a")),
+                e.alias("c"),
+                (F.col("p.last") == F.col("c.a")) & (F.col("c.b") == F.col("p.start")),
             )
-            .where((F.col("x.a") < F.col("x.b")) & (F.col("x.a") < F.col("y.b")))
-            .select(F.col("x.a").alias("cycle_start"), F.lit(3).alias("cycle_len"))
+            .select(F.col("p.start").alias("cycle_start"), F.lit(length).alias("cycle_len"))
             .distinct()
         )
-        out = out.unionByName(c3)
+        out = closed if out is None else out.unionByName(closed)
+        if length == max_len:
+            break
+        capped = _cap_frontier_pivot(frontier, max_paths_per_pivot, log_dropped)
+        frontier = (
+            capped.alias("p")
+            .join(e.alias("x"), F.col("p.last") == F.col("x.a"))
+            .where(
+                (F.col("x.b") > F.col("p.start"))
+                & ~F.array_contains(F.col("p.nodes"), F.col("x.b"))
+            )
+            .select(
+                F.col("p.start").alias("start"),
+                F.col("x.b").alias("last"),
+                F.concat(F.col("p.nodes"), F.array(F.col("x.b"))).alias("nodes"),
+            )
+        )
     return out

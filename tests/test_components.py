@@ -161,3 +161,73 @@ def test_pagerank_fixed_point_tracks_float(spark):
            pagerank(nodes.repartition(7), edges.repartition(5),
                     iterations=10, fixed_point=True).collect()}
     assert fp == fp2
+
+
+# ------------------------------------------------------------- A11 cycles
+
+
+def py_cycles(edges, max_len):
+    """Brute-force oracle: all directed simple cycles of length 2..max_len,
+    canonicalized at their minimum node, as a set of (start, length)."""
+    e = set(edges)
+    adj = {}
+    for a, b in e:
+        adj.setdefault(a, set()).add(b)
+    out = set()
+
+    def extend(start, last, nodes):
+        if start in adj.get(last, ()):
+            out.add((start, len(nodes)))
+        if len(nodes) < max_len:
+            for nxt in adj.get(last, ()):
+                if nxt > start and nxt not in nodes:
+                    extend(start, nxt, nodes | {nxt})
+
+    for a, b in e:
+        if b > a:
+            extend(a, b, {a, b})
+    return out
+
+
+def test_bounded_cycles_matches_bruteforce(spark):
+    """Lengths 2..5 on a seeded random digraph equal the Python oracle —
+    the reference's find_cycles depth (graph_path_finder.py:224)."""
+    from agraph_spark.operators.components import bounded_cycles
+
+    _, edge_rows = random_graph(25, 80, seed=31)
+    edf = spark.createDataFrame(edge_rows, "head_id string, tail_id string")
+    want = py_cycles(edge_rows, 5)
+    assert want, "fixture must actually contain cycles"
+    assert any(l >= 4 for _, l in want), "fixture must contain 4/5-cycles"
+    got = {(r.cycle_start, r.cycle_len) for r in bounded_cycles(edf).collect()}
+    assert got == want
+
+
+def test_bounded_cycles_hub_cap(spark, caplog):
+    """A hot pivot (hub with many in-paths x many out-edges) is capped:
+    paths through it are bounded, the drop is logged, and cycles NOT
+    through the hub are unaffected."""
+    import logging
+
+    from agraph_spark.operators.components import bounded_cycles
+
+    edges = (
+        [(f"x{i:02d}", "zhub") for i in range(40)]
+        + [("zhub", f"y{i:02d}") for i in range(40)]
+        + [(f"y{i:02d}", f"x{i:02d}") for i in range(40)]  # cycles through hub
+        + [("a1", "a2"), ("a2", "a3"), ("a3", "a1")]       # planted, hub-free
+    )
+    edf = spark.createDataFrame(edges, "head_id string, tail_id string")
+    want = py_cycles(edges, 5)
+    # uncapped (cap high enough): exact
+    got = {(r.cycle_start, r.cycle_len)
+           for r in bounded_cycles(edf, max_paths_per_pivot=100_000).collect()}
+    assert got == want
+    # tight cap: subset of truth, planted hub-free cycle survives, drop logged
+    with caplog.at_level(logging.WARNING,
+                         logger="agraph_spark.operators.components"):
+        capped = {(r.cycle_start, r.cycle_len)
+                  for r in bounded_cycles(edf, max_paths_per_pivot=5).collect()}
+    assert capped <= want
+    assert ("a1", 3) in capped
+    assert any("dropping" in r.message for r in caplog.records)
