@@ -81,21 +81,28 @@ def extract_relation_candidates(documents: DataFrame) -> DataFrame:
     )
 
 
-def _conv_join(big: DataFrame, entities: DataFrame, n_salts: int | None) -> DataFrame:
+def _conv_join(big: DataFrame, entities: DataFrame, n_salts) -> DataFrame:
     """conv_id equi-join with optional explicit salting for monster
     conversations: AQE skew-join splitting (on by default) is the first
     resort; ``n_salts`` replicates the entity side R ways and spreads the
     big side by row identity so one 10M-turn conversation can never pin the
-    join to a single task even when AQE is off or mid-stage."""
+    join to a single task even when AQE is off or mid-stage.
+
+    ``n_salts`` may be an int, None, "auto", or a salting.AutoSalt policy:
+    auto measures the big side's per-conv_id counts (salting.decide_salts)
+    and salts only when one conversation would pin a task."""
+    from .salting import AutoSalt, decide_salts, salted_join_hint
+
+    if n_salts == "auto" or isinstance(n_salts, AutoSalt):
+        cfg = n_salts if isinstance(n_salts, AutoSalt) else None
+        n_salts = decide_salts(big, "conv_id", cfg)
     if not n_salts:
         return big.join(entities, "conv_id")
-    from .salting import salted_join_hint
-
     return salted_join_hint(big, entities, "conv_id", n_salts)
 
 
 def resolve_mentions(
-    mention_texts: DataFrame, entities: DataFrame, n_salts: int | None = None
+    mention_texts: DataFrame, entities: DataFrame, n_salts=None
 ) -> DataFrame:
     """E7: map (conv_id, text) -> winning entity.
 
@@ -131,7 +138,7 @@ def resolve_mentions(
 
 
 def pattern_relations(
-    candidates: DataFrame, entities: DataFrame, n_salts: int | None = None
+    candidates: DataFrame, entities: DataFrame, n_salts=None
 ) -> DataFrame:
     """E5+E7: resolve both endpoints; drop candidates with an unresolved side
     (relation_extractor.py:400). conf fixed 0.7."""
@@ -187,7 +194,7 @@ def split_sentences(documents: DataFrame) -> DataFrame:
 
 
 def cooccurrence_relations(
-    documents: DataFrame, entities: DataFrame, n_salts: int | None = None
+    documents: DataFrame, entities: DataFrame, n_salts=None
 ) -> DataFrame:
     """E6: entities co-occurring in a sentence -> RELATED_TO pairs, ordered by
     emission order (i < j), conf 0.5 (relation_extractor.py:447-487)."""
@@ -235,7 +242,7 @@ def validate_relations(relations: DataFrame) -> DataFrame:
 
 
 def extract_relations(
-    documents: DataFrame, entities: DataFrame, n_salts: int | None = None
+    documents: DataFrame, entities: DataFrame, n_salts=None
 ) -> DataFrame:
     """E5+E6+E9 composed: validated relation rows."""
     pat = pattern_relations(extract_relation_candidates(documents), entities, n_salts)

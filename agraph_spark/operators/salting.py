@@ -14,8 +14,65 @@ concentrates one partition) and deterministic-layout writes. The pattern:
 
 from __future__ import annotations
 
+import math
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class AutoSalt:
+    """Skew-detection policy for auto-chosen ``n_salts`` (the string "auto"
+    means AutoSalt() defaults). At 10^12-turn scale nobody hand-sets
+    n_salts, so the join helpers can measure the key distribution and
+    decide.
+
+    Thresholds: salting is worth its R-fold replication of the entity side
+    only when one key would otherwise pin a task, so we require BOTH
+    (a) the hottest key to hold >= ``min_rows`` rows — below that even a
+    fully pinned task finishes in milliseconds, and (b) the hot/median
+    ratio to exceed ``ratio_k`` — below that AQE skew-splitting already
+    balances it. The salt count then targets hot-key slices of about
+    ``ratio_k`` x median rows: n = ceil(ratio / ratio_k), capped at
+    ``max_salts`` (each salt replicates the small side once).
+    ``sample_fraction`` trades exactness for cost: at 100 TB pass ~0.001
+    and counts are scaled back up by 1/fraction."""
+
+    ratio_k: float = 20.0
+    min_rows: int = 100_000
+    max_salts: int = 32
+    sample_fraction: float | None = None
+
+
+def decide_salts(big: DataFrame, key: str = "conv_id", cfg: AutoSalt | None = None) -> int | None:
+    """Measure the key distribution of ``big`` and return an n_salts for
+    salted_join_hint, or None when plain join + AQE suffices. One
+    partial-aggregated count shuffle over (key) — tiny output — plus a
+    global max/median agg."""
+    cfg = cfg or AutoSalt()
+    sampled = big
+    scale = 1.0
+    if cfg.sample_fraction:
+        sampled = big.sample(fraction=cfg.sample_fraction, seed=7)
+        scale = 1.0 / cfg.sample_fraction
+    row = (
+        sampled.groupBy(key)
+        .count()
+        .agg(
+            F.max("count").alias("mx"),
+            F.expr("percentile_approx(count, 0.5)").alias("md"),
+        )
+        .first()
+    )
+    if row is None or row.mx is None:
+        return None
+    mx = row.mx * scale
+    md = max((row.md or 1) * scale, 1.0)
+    if mx < cfg.min_rows or mx / md <= cfg.ratio_k:
+        return None
+    n = int(math.ceil(mx / md / cfg.ratio_k))
+    return max(2, min(cfg.max_salts, n))
 
 
 def salt_col(identity_col: str | Column, n_salts: int = 16) -> Column:

@@ -79,3 +79,43 @@ def test_salting_spreads_the_monster_conversation(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_auto_salting_decision_and_equality(spark):
+    """n_salts="auto"/AutoSalt measures the key distribution: balanced data
+    -> no salt (plan unchanged); one monster conversation -> salts chosen,
+    output exactly equal to the unsalted run."""
+    from agraph_spark.operators.salting import AutoSalt, decide_salts
+
+    docs, entities = _skewed_corpus(spark)
+    sents = split_sentences(docs)
+
+    # balanced input: heuristic declines
+    balanced = sents.where(F.col("conv_id") != "giant")
+    assert decide_salts(balanced, "conv_id", AutoSalt(min_rows=2, ratio_k=5.0)) is None
+    # default floor: the giant conv here is far below 100k rows -> declines
+    assert decide_salts(sents, "conv_id") is None
+    # skewed input with test-scale thresholds: picks >= 2 salts
+    cfg = AutoSalt(min_rows=100, ratio_k=5.0, max_salts=16)
+    n = decide_salts(sents, "conv_id", cfg)
+    assert n is not None and 2 <= n <= 16
+
+    # exact output equality through the auto path
+    key = ["conv_id", "head_norm", "pred", "tail_norm"]
+    plain = {tuple(r) for r in
+             cooccurrence_relations(docs, entities).select(*key).distinct().collect()}
+    auto = {tuple(r) for r in
+            cooccurrence_relations(docs, entities, n_salts=cfg).select(*key).distinct().collect()}
+    assert plain == auto and len(plain) > 0
+
+
+def test_auto_salting_sampled_counts(spark):
+    """sample_fraction trades exactness for cost: scaled counts still detect
+    the monster conversation."""
+    from agraph_spark.operators.salting import AutoSalt, decide_salts
+
+    docs, _ = _skewed_corpus(spark, giant_sents=3000)
+    sents = split_sentences(docs)
+    cfg = AutoSalt(min_rows=100, ratio_k=5.0, max_salts=16, sample_fraction=0.5)
+    n = decide_salts(sents, "conv_id", cfg)
+    assert n is not None and n >= 2
