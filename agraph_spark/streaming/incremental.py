@@ -47,6 +47,86 @@ def process_microbatch(batch_df: DataFrame, batch_id: int, out_dir: str) -> None
     build.entities.unpersist()
 
 
+def merge_triples_into_store(
+    spark: SparkSession,
+    new_triples: DataFrame,
+    store_dir: str,
+    n_buckets: int = 64,
+) -> None:
+    """MERGE a batch of triples into a bucket-partitioned parquet store:
+    the parquet expression of Iceberg ``MERGE INTO`` (SURVEY §1.2 / F6).
+
+    The store is hash-partitioned on conv_id into ``n_buckets`` directory
+    partitions; a merge reads ONLY the buckets the new batch touches,
+    combines on the content key (conv, subj, pred, obj — content-hash ids
+    make re-processing idempotent), and dynamically overwrites just those
+    partitions. At 100 TB the rewrite cost is proportional to the touched
+    buckets, not the store; with an Iceberg catalog the same call becomes a
+    single MERGE INTO and this function is the documented fallback."""
+    bucket = F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
+    new = new_triples.withColumn("bucket", bucket)
+    merged = new
+    if os.path.exists(store_dir):
+        affected = [r.bucket for r in new.select("bucket").distinct().collect()]
+        cur = spark.read.parquet(store_dir).where(F.col("bucket").isin(affected))
+        merged = cur.unionByName(new.where(F.col("bucket").isin(affected)))
+    merged = merged.groupBy("conv_id", "subj", "pred", "obj", "bucket").agg(
+        F.max("conf").alias("conf"), F.min("lineage").alias("lineage")
+    )
+    # sever lineage from the store files before overwriting them (parquet
+    # has no transactional swap; Iceberg MERGE INTO makes this atomic)
+    merged = merged.localCheckpoint()
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(store_dir)
+    )
+
+
+def process_microbatch_merge(
+    batch_df: DataFrame, batch_id: int, store_dir: str, n_buckets: int = 64
+) -> None:
+    """foreachBatch body with write-time MERGE: batch pipeline on the
+    micro-batch, then upsert into the bucket-partitioned store — the
+    reference's StreamingLLMGraphBuilder update loop
+    (llm_builders.py:1406-1533) with Spark's exactly-once foreachBatch."""
+    if batch_df.isEmpty():
+        return
+    build = build_kg(batch_df, cache_documents=True)
+    new = build.triples.withColumn("lineage", F.lit(f"stream_batch={batch_id}"))
+    merge_triples_into_store(batch_df.sparkSession, new, store_dir, n_buckets)
+    build.documents.unpersist()
+    build.entities.unpersist()
+
+
+def start_transcript_merge_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    trigger_once: bool = True,
+    n_buckets: int = 64,
+):
+    """readStream -> foreachBatch(batch pipeline) -> MERGE loop. The store
+    at out_dir/triples_store is directly readable (no read-time dedup
+    needed — merges keep it unique on the content key)."""
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+    store = os.path.join(out_dir, "triples_store")
+    writer = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: process_microbatch_merge(df, bid, store, n_buckets)
+        )
+        .option("checkpointLocation", os.path.join(out_dir, "_merge_checkpoint"))
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_transcript_stream(
     spark: SparkSession,
     input_dir: str,

@@ -96,3 +96,36 @@ def test_stateful_first_seen_state_bound(spark):
         vals = sorted((r.name_norm, bool(r.truncated)) for r in rows)
         assert ("v0", False) in vals and vals.count(("v0", False)) == 1  # remembered
         assert vals.count(("v3", True)) == 2  # once per batch, flagged
+
+
+def test_merge_stream_equals_batch_and_is_idempotent(spark):
+    """readStream -> foreachBatch(batch pipeline) -> MERGE loop: the
+    bucket-partitioned store equals the batch pipeline's triples WITHOUT
+    read-time dedup, and re-sending a conversation's transcripts in a later
+    micro-batch leaves the store unchanged (content-key idempotency)."""
+    from agraph_spark.streaming.incremental import start_transcript_merge_stream
+
+    tdf = transcripts_df(spark, n_convs=12, seed=21).persist()
+    want = triple_set(build_kg(tdf).triples)
+
+    with tempfile.TemporaryDirectory() as d:
+        inp = os.path.join(d, "in")
+        out = os.path.join(d, "out")
+        store = os.path.join(out, "triples_store")
+
+        tdf.where("conv_id < 'conv000006'").write.mode("append").parquet(inp)
+        start_transcript_merge_stream(spark, inp, out, n_buckets=8) \
+            .awaitTermination(120)
+
+        # second drain: remaining convs PLUS a re-send of conv000003
+        tdf.where("conv_id >= 'conv000006' or conv_id = 'conv000003'") \
+            .write.mode("append").parquet(inp)
+        start_transcript_merge_stream(spark, inp, out, n_buckets=8) \
+            .awaitTermination(120)
+
+        stored = spark.read.parquet(store)
+        got = triple_set(stored)
+        assert got == want
+        # store is unique on the content key — MERGE, not append
+        assert stored.count() == stored.select(
+            "conv_id", "subj", "pred", "obj").distinct().count()
