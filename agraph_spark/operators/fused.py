@@ -23,6 +23,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from .. import patterns as P
 from ..schemas import ENTITIES
@@ -273,4 +274,48 @@ def extract_documents_fused(documents: DataFrame) -> DataFrame:
     the single-pass extraction surface consumed by relations_fused."""
     return documents.select("conv_id", "text").mapInPandas(
         _doc_extract_kernel, schema=_DOC_EXTRACT_SCHEMA
+    )
+
+
+def _grouped_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas body for one conv_id hash bucket: pandas reassembly
+    (same (turn_idx, ts, text) struct order as reassemble_conversations'
+    array_sort) followed by the extraction batch — raw turns reach Python
+    once and the per-document intermediates never exist JVM-side."""
+    pdf = pdf.sort_values(["conv_id", "turn_idx", "ts", "text"], kind="stable")
+    docs = (
+        pdf.groupby("conv_id", sort=False)["text"]
+        .agg(lambda s: "\n".join(s.fillna("")))
+        .reset_index()
+    )
+    out = next(iter(_doc_extract_kernel(iter([docs]))), None)
+    if out is None:
+        out = pd.DataFrame(columns=["conv_id", "text", "ents", "cands", "cand_texts"])
+    return out
+
+
+def extract_documents_fused_grouped(
+    transcripts: DataFrame, n_buckets: int | None = None
+) -> DataFrame:
+    """Reassembly + extraction fused into ONE exchange: shuffle raw turns on
+    a conv_id hash bucket, then a single applyInPandas does pandas
+    reassembly and extraction per bucket.
+
+    Candidate alternative to reassemble_conversations -> mapInPandas (which
+    pays a JVM collect_list/array_sort/concat_ws aggregation before the
+    Arrow transfer). Grouping by pmod(xxhash64(conv_id), n_buckets) rather
+    than conv_id keeps applyInPandas calls to one per TASK-sized bucket
+    instead of one tiny pandas frame per conversation. Exact-parity-tested
+    against the default path; see PLANS.md for the measured comparison."""
+    spark = transcripts.sparkSession
+    if n_buckets is None:
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    bucketed = transcripts.select("conv_id", "turn_idx", "ts", "text").withColumn(
+        "_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
+    )
+    return (
+        bucketed.groupBy("_bucket")
+        .applyInPandas(
+            lambda _key, pdf: _grouped_kernel(pdf), schema=_DOC_EXTRACT_SCHEMA
+        )
     )

@@ -58,10 +58,23 @@ def build_kg(
       whole-stage codegen), so the per-element cost dwarfs the saved
       shuffles. Kept for the record and for inputs where shuffle volume,
       not CPU, is the binding constraint.
+    - "grouped": reassembly + extraction fused into one
+      groupBy(hash bucket).applyInPandas exchange — no JVM
+      collect_list/array_sort aggregation before the Arrow transfer.
+      Exact-parity-tested vs "fused"; measured comparison in PLANS.md
+      (round 3).
     """
-    documents = reassemble_conversations(transcripts)
-    if mode in ("fused", "fused_arrays"):
-        extracted = extract_documents_fused(documents)
+    if mode in ("fused", "fused_arrays", "grouped"):
+        if mode == "grouped":
+            # reassembly + extraction share ONE exchange: raw turns shuffle
+            # on a conv_id hash bucket and a single applyInPandas reassembles
+            # and extracts (no JVM collect_list agg; see PLANS.md round 3)
+            from .operators.fused import extract_documents_fused_grouped
+
+            extracted = extract_documents_fused_grouped(transcripts)
+            mode = "fused"
+        else:
+            extracted = extract_documents_fused(reassemble_conversations(transcripts))
         if cache_documents:
             extracted = track(extracted)
         documents = extracted.select("conv_id", "text")
@@ -89,6 +102,7 @@ def build_kg(
         # expose the persisted kernel output for unpersist() by callers
         documents = extracted
     else:
+        documents = reassemble_conversations(transcripts)
         if cache_documents:
             documents = track(documents)
         entities = extract_entities(documents)

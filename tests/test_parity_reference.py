@@ -28,7 +28,8 @@ def golden_triples(pdf: pd.DataFrame) -> set[tuple[str, str, str]]:
 
 @pytest.mark.parametrize(
     "seed,n_convs,mode",
-    [(7, 25, "fused"), (42, 40, "fused"), (7, 25, "modular"), (42, 40, "modular")],
+    [(7, 25, "fused"), (42, 40, "fused"), (7, 25, "modular"), (42, 40, "modular"),
+     (7, 25, "grouped"), (42, 40, "grouped")],
 )
 def test_triple_parity(spark, seed, n_convs, mode):
     tdf = transcripts_df(spark, n_convs=n_convs, seed=seed)
