@@ -322,6 +322,17 @@ def q_dd_minhash(spark, sf_dir):
     return DD.minhash_lsh_pairs(d, threshold=0.3)
 
 
+def q_dd_minhash_md5(spark, sf_dir):
+    """MinHash-LSH in the oracle-twinnable hash mode (VERDICT r2 #7):
+    md5-derived 60-bit signature hashes and raw band-string buckets let
+    DuckDB reproduce signatures, candidate buckets, and estimated Jaccard
+    bit-for-bit. dd_minhash stays on the faster xxhash64 path."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return DD.minhash_lsh_pairs(
+        d, num_hashes=16, bands=4, threshold=0.3, hash_mode="md5"
+    )
+
+
 def q_dd_simhash(spark, sf_dir):
     """SimHash near-dup pairs (non-SQL: bit-level ops on xxhash64)."""
     d = _docs(spark, sf_dir).select("doc_id", "text")
@@ -633,6 +644,24 @@ def q_g_all_paths(spark, sf_dir):
     return out.select(F.concat_ws("->", "path").alias("path"), "depth")
 
 
+def q_g_paths_multi(spark, sf_dir):
+    """A10 hardened (VERDICT r2 #6): simple paths R0 -> EVERY supplier in
+    region 0 — the target set arrives as a semi-joined DataFrame, no scalar
+    collect; proves the operator, not just one path."""
+    from agraph_spark.operators.graph_queries import all_paths_multi
+
+    _, edges = _g(spark, sf_dir)
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    targets = (
+        s.join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .where(F.col("n_regionkey") == 0)
+        .select(F.concat(F.lit("S"), F.col("s_suppkey")).alias("entity_id"))
+    )
+    out = all_paths_multi(edges, "R0", targets, max_depth=3)
+    return out.select("target", F.concat_ws("->", "path").alias("path"), "depth")
+
+
 def q_v_hybrid(spark, sf_dir):
     """V6 hybrid text+vector search over documents joined to embeddings."""
     from agraph_spark.operators.retrieval import hybrid_search_chunks
@@ -921,6 +950,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "tpch_join3": q_tpch_join3,
         "dd_ngram_jaccard": q_dd_ngram_jaccard,
         "dd_minhash": q_dd_minhash,
+        "dd_minhash_md5": q_dd_minhash_md5,
         "dd_simhash": q_dd_simhash,
         "v_cosine": q_v_cosine,
         "v_ann_lsh": q_v_ann_lsh,
@@ -937,6 +967,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "g_low_confidence": q_g_low_confidence,
         "g_empty_names": q_g_empty_names,
         "g_all_paths": q_g_all_paths,
+        "g_paths_multi": q_g_paths_multi,
         "v_hybrid": q_v_hybrid,
         "v10_chat_ctx": q_v10_chat_ctx,
         "v_topk": q_v_topk,
@@ -1258,6 +1289,44 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON inter.doc_a = sa.doc
             JOIN sizes sb ON inter.doc_b = sb.doc
             WHERE inter / (sa.sz + sb.sz - inter)::DOUBLE >= 0.2""",
+        "dd_minhash_md5": r"""
+            WITH toks AS (
+              SELECT doc_id AS doc,
+                     unnest(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) AS w,
+                     generate_subscripts(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+'), 1) AS i
+              FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc,
+                     w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle
+              FROM toks WINDOW win AS (PARTITION BY doc ORDER BY i)
+              QUALIFY lead(w, 2) OVER win IS NOT NULL
+            ),
+            hashed AS (
+              SELECT doc, seed,
+                     min(('0x' || substring(md5(seed::VARCHAR || '#' || shingle), 1, 15))::UBIGINT::BIGINT) AS mh
+              FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) seeds
+              GROUP BY doc, seed
+            ),
+            sig AS (SELECT doc, list(mh ORDER BY seed) AS sig FROM hashed GROUP BY doc),
+            bands AS (
+              SELECT doc, b, array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), ',') AS bucket
+              FROM (SELECT doc, sig, unnest(generate_series(0, 3)) AS b FROM sig)
+            ),
+            cand AS (
+              SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+              FROM bands x JOIN bands y
+                ON x.b = y.b AND x.bucket = y.bucket AND x.doc < y.doc
+            ),
+            est AS (
+              SELECT c.doc_a, c.doc_b,
+                     len(list_filter(generate_series(1, 16), i -> sa.sig[i] = sb.sig[i])) / 16.0 AS ej
+              FROM cand c
+              JOIN sig sa ON c.doc_a = sa.doc
+              JOIN sig sb ON c.doc_b = sb.doc
+            )
+            SELECT doc_a, doc_b, round(ej, 6)::DOUBLE AS est_jaccard
+            FROM est WHERE ej >= 0.3""",
         "dd_exact_dup": r"""
             WITH u AS (
               SELECT doc_id, text FROM documents
@@ -1441,6 +1510,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT array_to_string(path, '->') AS path, (len(path) - 1)::INT AS depth
             FROM walk WHERE node = (SELECT t FROM target)""",
+        "g_paths_multi": _GC + """
+            , adj AS (SELECT DISTINCT head_id AS a, tail_id AS b FROM edges),
+            targets AS (
+              SELECT DISTINCT 'S' || s_suppkey AS t
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_regionkey = 0
+            ),
+            walk AS (
+              SELECT 'R0' AS node, ['R0'] AS path
+              UNION ALL
+              SELECT adj.b, path || [adj.b]
+              FROM walk JOIN adj ON walk.node = adj.a
+              WHERE NOT list_contains(path, adj.b) AND len(path) <= 3
+            )
+            SELECT w.node AS target, array_to_string(w.path, '->') AS path,
+                   (len(w.path) - 1)::INT AS depth
+            FROM walk w JOIN targets ON w.node = targets.t""",
         "g_pagerank": _GC + """
             , deg AS (SELECT head_id, count(*)::BIGINT AS outd FROM edges GROUP BY head_id),
             adj AS (SELECT e.head_id AS h, e.tail_id AS t, d.outd

@@ -103,27 +103,45 @@ def ngram_jaccard_pairs(
     return out
 
 
+def md5_hash60(col: F.Column, seed: int) -> F.Column:
+    """Deterministic 60-bit integer hash both Spark and DuckDB can compute
+    bit-identically: top 15 hex chars of md5(seed || '#' || value). Slower
+    than seeded xxhash64 (string md5 per (shingle, seed)) — used by the
+    oracle-twinnable hash_mode, not the default path."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("#", F.lit(str(seed)), col)), 1, 15), 16, 10
+    ).cast("bigint")
+
+
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = 32,
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
-    """(doc, sig: array<bigint>) — k seeded-xxhash64 min values over the
+    """(doc, sig: array<bigint>) — k seeded-hash min values over the
     shingle set. One explode + one groupBy; no UDF.
 
-    Each shingle string is hashed ONCE (variable-length input); the k
-    per-permutation hashes re-hash that 8-byte long with a seed column —
-    k cheap fixed-width hashes instead of k string hashes (measured ~2x
-    on the signature stage)."""
-    sh = shingle_table(df, id_col, text_col, n).withColumn(
-        "h", F.xxhash64(F.col("shingle"))
-    )
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    hash_mode "xxhash64" (default): each shingle string is hashed ONCE
+    (variable-length input); the k per-permutation hashes re-hash that
+    8-byte long with a seed column — k cheap fixed-width hashes instead of
+    k string hashes (measured ~2x on the signature stage).
+    hash_mode "md5": md5-derived 60-bit hashes a SQL oracle can reproduce
+    exactly (DuckDB has no xxhash64) — the correctness-twin mode."""
+    sh = shingle_table(df, id_col, text_col, n)
+    if hash_mode == "md5":
+        mins = [
+            F.min(md5_hash60(F.col("shingle"), i)).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        sh = sh.withColumn("h", F.xxhash64(F.col("shingle")))
+        mins = [
+            F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
     sig = sh.groupBy("doc").agg(*mins)
     return sig.select("doc", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
@@ -176,6 +194,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     max_bucket_size: int | None = 5000,
     log_dropped: bool = True,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """MinHash-LSH near-dup candidates verified by estimated Jaccard.
 
@@ -185,21 +204,24 @@ def minhash_lsh_pairs(
     fraction of agreeing minhash components. Buckets above
     ``max_bucket_size`` are dropped before the self-join (skew guard; see
     _cap_buckets) — exact-duplicate floods should be removed first by the
-    cheaper exact_dup_groups pass."""
+    cheaper exact_dup_groups pass.
+
+    hash_mode "md5" swaps in SQL-reproducible signature hashes (md5_hash60)
+    and keeps the band bucket as the raw comma-joined band values (string)
+    so a DuckDB oracle can match the output bit-for-bit
+    (__spark_entry__ dd_minhash_md5)."""
     rows = num_hashes // bands
-    sig = track(minhash_signatures(df, num_hashes, n, id_col, text_col))
+    sig = track(minhash_signatures(df, num_hashes, n, id_col, text_col, hash_mode))
+    band_vals = [
+        F.concat_ws(",", *[F.element_at("sig", b * rows + r + 1).cast("string") for r in range(rows)])
+        for b in range(bands)
+    ]
+    if hash_mode != "md5":
+        # hash the band string to a cheap fixed-width join key (the string
+        # form stays only in the oracle-twin mode, where DuckDB must agree)
+        band_vals = [F.xxhash64(c) for c in band_vals]
     band_rows = sig.select(
-        "doc",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(",", *[F.element_at("sig", b * rows + r + 1).cast("string") for r in range(rows)])
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
+        "doc", F.posexplode(F.array(*band_vals)).alias("band", "bucket")
     )
     band_rows = _cap_buckets(band_rows, ["band", "bucket"], max_bucket_size, log_dropped)
     a = band_rows.alias("a")

@@ -171,6 +171,46 @@ def all_paths(
     return found if found is not None else spark.createDataFrame([], "path array<string>, depth int")
 
 
+def all_paths_multi(
+    edges: DataFrame,
+    start_id: str,
+    targets: DataFrame,
+    max_depth: int = 3,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """A10 set-target variant: every simple path start -> ANY node of
+    ``targets`` (a one-column DataFrame of ids) up to max_depth, as
+    (target, path, depth). Hits come from a semi-join per frontier level
+    rather than a scalar-collected id, proving the operator over a target
+    SET; paths keep expanding THROUGH target nodes, so the output equals
+    the union of per-target all_paths runs."""
+    from .components import lineage_cutter
+
+    adj = edges.select(F.col("head_id").alias("src"), F.col("tail_id").alias("dst")).distinct()
+    cut = lineage_cutter(edges, checkpoint_dir)
+    spark = edges.sparkSession
+    tgt = targets.select(F.col(targets.columns[0]).alias("node")).distinct()
+    frontier = spark.createDataFrame([(start_id, [start_id])], "node string, path array<string>")
+    found = None
+    for _ in range(max_depth):
+        stepped = (
+            frontier.join(adj, frontier["node"] == adj["src"])
+            .where(~F.array_contains("path", F.col("dst")))
+            .select(F.col("dst").alias("node"), F.concat("path", F.array("dst")).alias("path"))
+        )
+        stepped = cut(stepped)
+        hits = stepped.join(tgt, "node", "left_semi").select(
+            F.col("node").alias("target"), "path", (F.size("path") - 1).alias("depth")
+        )
+        found = hits if found is None else found.unionByName(hits)
+        frontier = stepped
+        if frontier.limit(1).count() == 0:
+            break
+    if found is None:
+        return spark.createDataFrame([], "target string, path array<string>, depth int")
+    return found
+
+
 # -------------------------------------------------- A13/A14/G8 reports etc
 
 def chunk_similarity(
