@@ -2,11 +2,12 @@
 opaque ``binary`` columns with typed metadata.
 
 The Spark-side plumbing — schemas, partition-friendly layout, Arrow-batched
-UDF signatures, frame/batch shapes — is real and tested. The actual media
-DECODE step is stubbed: the image/audio codec libraries are not in this
-container, so ``decode_image`` raises ``NotImplementedError`` unless a
-decoder is injected, and tests use ``fake_decoder`` (deterministic,
-content-hash-derived pixels) to exercise the full pipeline shape.
+UDF signatures, frame/batch shapes — is real and tested. ``decode_image``
+really decodes the stdlib-parsable formats (netpbm P5/P6 and uncompressed
+24-bit BMP, end-to-end tested); compressed formats (PNG/JPEG/...) need
+codec libraries that are not in this container, so they stay behind the
+injectable-decoder slot and tests use ``fake_decoder`` (deterministic,
+content-hash-derived pixels) for that path.
 
 Design notes for 100 TB:
 - media bytes ride in parquet binary columns next to their metadata so
@@ -44,11 +45,65 @@ MEDIA_SCHEMA = T.StructType(
 Decoder = Callable[[bytes], np.ndarray]
 
 
+def _decode_ppm(content: bytes) -> np.ndarray:
+    """Netpbm binary P5 (graymap) / P6 (pixmap): pure header parse + raw
+    bytes — whitespace-separated tokens, '#' comments allowed, maxval<=255.
+    Returns float32 (h, w) or (h, w, 3) scaled to [0, 1]."""
+    import re
+
+    # header = magic, width, height, maxval as the first 4 tokens; a single
+    # whitespace byte separates the maxval token from raw pixel data
+    tokens: list[bytes] = []
+    pos = 2  # past magic
+    while len(tokens) < 3:
+        m = re.match(rb"(?:\s+|#[^\n]*\n)*([0-9]+)", content[pos:])
+        if m is None:
+            raise ValueError("malformed netpbm header")
+        tokens.append(m.group(1))
+        pos += m.end()
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm not supported")
+    pos += 1  # the single whitespace after maxval
+    ch = 3 if content[:2] == b"P6" else 1
+    pix = np.frombuffer(content, dtype=np.uint8, count=w * h * ch, offset=pos)
+    arr = pix.astype(np.float32).reshape((h, w, 3) if ch == 3 else (h, w))
+    return arr / float(maxval)
+
+
+def _decode_bmp(content: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BI_RGB Windows BMP via stdlib struct: BGR
+    bottom-up rows padded to 4 bytes -> float32 (h, w, 3) RGB in [0, 1]."""
+    import struct
+
+    off, = struct.unpack_from("<I", content, 10)
+    w, h = struct.unpack_from("<ii", content, 18)
+    bpp, = struct.unpack_from("<H", content, 28)
+    comp, = struct.unpack_from("<I", content, 30)
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"only 24-bit BI_RGB BMP supported (bpp={bpp}, comp={comp})")
+    flip = h > 0  # positive height = bottom-up storage
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(content, dtype=np.uint8, count=h * stride, offset=off)
+    rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if flip:
+        rows = rows[::-1]
+    return rows[..., ::-1].astype(np.float32) / 255.0  # BGR -> RGB
+
+
 def decode_image(content: bytes) -> np.ndarray:
-    """Real decoder slot — no codec libraries in this container."""
+    """Real decode for the stdlib-parsable formats (netpbm P5/P6, 24-bit
+    uncompressed BMP); compressed formats (PNG/JPEG/...) still need an
+    injected codec-backed decoder — those libraries are not in this
+    container."""
+    if content[:2] in (b"P5", b"P6"):
+        return _decode_ppm(content)
+    if content[:2] == b"BM":
+        return _decode_bmp(content)
     raise NotImplementedError(
-        "image codecs unavailable in this environment; inject a decoder "
-        "(e.g. PIL/opencv-based) or use fake_decoder for tests"
+        "compressed image codecs unavailable in this environment; inject a "
+        "decoder (e.g. PIL/opencv-based) or use fake_decoder for tests"
     )
 
 
