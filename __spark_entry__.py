@@ -1657,7 +1657,7 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT round(avg(confidence), 6) FROM edges)::DOUBLE AS avg_relation_conf,
                    (SELECT min(confidence) FROM edges)::DOUBLE AS min_relation_conf
             FROM nodes""",
-        "d2_weighted_sim": """
+        "d2_weighted_sim": r"""
             WITH a AS (SELECT p_partkey AS k, lower(p_name) AS name_a FROM part),
             b AS (SELECT p_partkey - 1 AS k, lower(p_name) AS name_b FROM part),
             pairs AS (SELECT a.k, name_a, name_b FROM a JOIN b USING (k)),

@@ -2,7 +2,12 @@
 entry at sf0.01 in Spark AND its oracle_sql() twin in DuckDB; compare row
 count, column-name set, and the order-insensitive multiset of values.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
+
+--json writes the per-query results in the driver's CORRECTNESS file shape
+(rows_match/schema_match/hash_match/spark_rows/oracle_rows/err) so the full
+registered set can be committed as round evidence next to the driver's
+sampled file.
 """
 
 from __future__ import annotations
@@ -49,8 +54,14 @@ def rows_to_multiset(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    results: dict[str, dict] = {}
     spark = get_spark(master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",
                       shuffle_partitions=16)
     con = duckdb.connect()
@@ -70,10 +81,16 @@ def main():
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
+            results[name] = dict(rows_match=False, schema_match=False,
+                                 hash_match=False, spark_rows=None,
+                                 oracle_rows=None, err=f"spark: {str(e)[:200]}")
             n_fail += 1
             continue
         if name not in oracles:
             print(f"ROWS-ONLY {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            results[name] = dict(rows_match=None, schema_match=None,
+                                 hash_match=None, spark_rows=len(srows),
+                                 oracle_rows=None, err="no_oracle")
             n_rows_only += 1
             continue
         try:
@@ -82,6 +99,9 @@ def main():
             drows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
+            results[name] = dict(rows_match=False, schema_match=False,
+                                 hash_match=False, spark_rows=len(srows),
+                                 oracle_rows=None, err=f"duckdb: {str(e)[:200]}")
             n_fail += 1
             continue
         problems = []
@@ -95,6 +115,12 @@ def main():
             if sm != dm:
                 diffs = [(a, b) for a, b in zip(sm, dm) if a != b][:3]
                 problems.append(f"values differ, first diffs: {diffs}")
+        rows_ok = len(srows) == len(drows)
+        schema_ok = sorted(scols) == sorted(dcols)
+        hash_ok = rows_ok and schema_ok and not problems
+        results[name] = dict(rows_match=rows_ok, schema_match=schema_ok,
+                             hash_match=hash_ok, spark_rows=len(srows),
+                             oracle_rows=len(drows), err=None)
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)}")
             n_fail += 1
@@ -102,6 +128,12 @@ def main():
             print(f"PASS {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
             n_pass += 1
     print(f"\n== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only ==")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {json_out} ({len(results)} queries)")
     return 1 if n_fail else 0
 
 
