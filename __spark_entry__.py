@@ -339,6 +339,14 @@ def q_dd_simhash(spark, sf_dir):
     return DD.simhash_near_pairs(d, max_hamming=8)
 
 
+def q_dd_simhash_md5(spark, sf_dir):
+    """SimHash in the oracle-twinnable hash mode: 60-bit md5-derived token
+    hashes, 4x15-bit band blocking — DuckDB reproduces fingerprints,
+    buckets, and Hamming distances exactly."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return DD.simhash_near_pairs(d, max_hamming=8, band_bits=15, hash_mode="md5")
+
+
 def q_dd_exact_dup(spark, sf_dir):
     """Exact dedup exercised on a corpus with guaranteed duplicates (each
     doc unioned once under a shifted id)."""
@@ -478,6 +486,29 @@ def q_kg_search_multi(spark, sf_dir):
         d.select(F.concat(F.lit("r"), "conv_id").alias("edge_id"),
                  F.substring("text", 20, 40).alias("render_text")))
     q = embed_hash_stub(
+        spark.createDataFrame([("table join query",)], "render_text string")
+    ).select(F.col("embedding").alias("query_vec"))
+    out = search_knowledge(nodes, edges, chunks, q, k=5, threshold=-1.0)
+    return out.select("item_id", "namespace", F.round("score", 3).alias("score"))
+
+
+def q_kg_search_multi_md5(spark, sf_dir):
+    """V8 union-pass retrieval over md5-stub embeddings — the
+    oracle-twinnable variant of kg_search_multi: DuckDB reproduces the
+    stub embedding components, cosine scores, and per-namespace top-k."""
+    from agraph_spark.operators.retrieval import search_knowledge
+    from agraph_spark.operators.vectors import embed_md5_stub
+
+    d = _docs(spark, sf_dir)
+    chunks = embed_md5_stub(d.select(F.col("conv_id").alias("chunk_id"),
+                                     F.col("text").alias("render_text")))
+    nodes = embed_md5_stub(
+        d.select(F.concat(F.lit("e"), "conv_id").alias("entity_id"),
+                 F.substring("text", 1, 40).alias("render_text")))
+    edges = embed_md5_stub(
+        d.select(F.concat(F.lit("r"), "conv_id").alias("edge_id"),
+                 F.substring("text", 20, 40).alias("render_text")))
+    q = embed_md5_stub(
         spark.createDataFrame([("table join query",)], "render_text string")
     ).select(F.col("embedding").alias("query_vec"))
     out = search_knowledge(nodes, edges, chunks, q, k=5, threshold=-1.0)
@@ -951,6 +982,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dd_ngram_jaccard": q_dd_ngram_jaccard,
         "dd_minhash": q_dd_minhash,
         "dd_minhash_md5": q_dd_minhash_md5,
+        "dd_simhash_md5": q_dd_simhash_md5,
         "dd_simhash": q_dd_simhash,
         "v_cosine": q_v_cosine,
         "v_ann_lsh": q_v_ann_lsh,
@@ -959,6 +991,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ev_reassemble": q_ev_reassemble,
         "kg_chunks": q_kg_chunks,
         "kg_search_multi": q_kg_search_multi,
+        "kg_search_multi_md5": q_kg_search_multi_md5,
         "f1_entity_filter": q_f1_entity_filter,
         "d9_upsert": q_d9_upsert,
         "db_schema": q_db_schema,
@@ -1327,6 +1360,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_a, doc_b, round(ej, 6)::DOUBLE AS est_jaccard
             FROM est WHERE ej >= 0.3""",
+        "dd_simhash_md5": r"""
+            WITH toks AS (
+              SELECT doc_id AS doc, unnest(regexp_extract_all(lower(text), '\w+')) AS tok
+              FROM documents
+            ),
+            hashed AS (
+              SELECT doc, ('0x' || substring(md5('0#' || tok), 1, 15))::UBIGINT::BIGINT AS h
+              FROM toks
+            ),
+            bit_sums AS (
+              SELECT doc, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS i) bits
+              GROUP BY doc, i
+            ),
+            sim AS (
+              SELECT doc, sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS simhash
+              FROM bit_sums GROUP BY doc
+            ),
+            bands AS (
+              SELECT doc, simhash, b, (simhash >> (b * 15)) & 32767 AS key
+              FROM (SELECT doc, simhash, unnest(generate_series(0, 3)) AS b FROM sim)
+            ),
+            pairs AS (
+              SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b,
+                     bit_count(xor(x.simhash, y.simhash)) AS hamming
+              FROM bands x JOIN bands y
+                ON x.b = y.b AND x.key = y.key AND x.doc < y.doc
+            )
+            SELECT doc_a, doc_b, hamming::INT AS hamming
+            FROM pairs WHERE hamming <= 8""",
         "dd_exact_dup": r"""
             WITH u AS (
               SELECT doc_id, text FROM documents
@@ -1599,6 +1662,36 @@ def oracle_sql() -> dict[str, str]:
               ('tb_orders->tb_orders.user_id', 'contains'),
               ('tb_orders.user_id->tbl_users.id', 'foreign_key')
             ) AS t(item, kind)""",
+        "kg_search_multi_md5": r"""
+            WITH items AS (
+              SELECT doc_id::VARCHAR AS item_id, 'text_chunk' AS namespace, text AS txt
+              FROM documents
+              UNION ALL
+              SELECT 'e' || doc_id::VARCHAR, 'entity', substring(text, 1, 40) FROM documents
+              UNION ALL
+              SELECT 'r' || doc_id::VARCHAR, 'relation', substring(text, 20, 40) FROM documents
+              UNION ALL
+              SELECT '__query__', 'query', 'table join query'
+            ),
+            comps AS (
+              SELECT item_id, namespace, i,
+                     ((('0x' || substring(md5(i::VARCHAR || '#' || txt), 1, 15))::UBIGINT
+                        % 2000)::BIGINT - 1000) / 1000.0 AS c
+              FROM items CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) dim
+            ),
+            emb AS (
+              SELECT item_id, namespace, list(c ORDER BY i) AS v
+              FROM comps GROUP BY item_id, namespace
+            ),
+            q AS (SELECT v AS qv FROM emb WHERE namespace = 'query'),
+            scored AS (
+              SELECT item_id, namespace, list_cosine_similarity(v, qv) AS raw
+              FROM emb, q WHERE namespace <> 'query'
+            )
+            SELECT item_id, namespace, round(raw, 3)::DOUBLE AS score
+            FROM scored
+            QUALIFY row_number() OVER (PARTITION BY namespace
+                                       ORDER BY raw DESC, item_id ASC) <= 5""",
         "v8_union_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
             u AS (

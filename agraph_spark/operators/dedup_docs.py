@@ -253,23 +253,38 @@ def minhash_lsh_pairs(
     return est
 
 
-def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over word tokens: per-bit majority of token hashes.
+def simhash64(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """SimHash over word tokens: per-bit majority of token hashes.
 
-    Explode tokens, xxhash64 each, aggregate per-bit +1/-1 sums, assemble
-    bits — one groupBy, JVM-side bit arithmetic."""
+    Explode tokens, hash each, aggregate per-bit +1/-1 sums, assemble bits
+    — one groupBy, JVM-side bit arithmetic. hash_mode "xxhash64" (default)
+    uses bits 0..62 of xxhash64; "md5" uses the 60-bit md5-derived hash a
+    DuckDB oracle reproduces exactly (__spark_entry__ dd_simhash_md5)."""
     from ..session import spread
 
     toks = spread(df).select(
         F.col(id_col).alias("doc"),
         F.explode(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\w+"), 0)).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    )
+    if hash_mode == "md5":
+        # SQL-reproducible: 60-bit md5-derived token hash (md5_hash60, seed
+        # 0), fingerprint over bits 0..59 — the oracle-twin mode
+        toks = toks.withColumn("h", md5_hash60(F.col("tok"), 0))
+        n_bits = 60
+    else:
+        toks = toks.withColumn("h", F.xxhash64("tok"))
+        n_bits = 63  # bit 63 kept zero to stay in signed range
     bit_sums = toks.groupBy("doc").agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"b{i}")
-            for i in range(64)
+            for i in range(n_bits)
         ]
     )
     sim = bit_sums.select(
@@ -277,7 +292,7 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         sum(
             [
                 F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (2**i)).otherwise(F.lit(0).cast("long"))
-                for i in range(63)  # bit 63 kept zero to stay in signed range
+                for i in range(n_bits)
             ]
         ).alias("simhash"),
     )

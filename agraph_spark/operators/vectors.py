@@ -250,3 +250,17 @@ def embed_hash_stub(df: DataFrame, text_col: str = "render_text", dim: int = 16)
         for i in range(dim)
     ]
     return df.withColumn("embedding", F.array(*comps))
+
+
+def embed_md5_stub(df: DataFrame, text_col: str = "render_text", dim: int = 8) -> DataFrame:
+    """embed_hash_stub's oracle-twinnable sibling: components are
+    md5-derived doubles ((md5_hash60 % 2000 - 1000)/1000) that a DuckDB
+    oracle reproduces bit-for-bit (__spark_entry__ kg_search_multi_md5).
+    Costs dim string md5s per row — the xxhash64 stub stays the default."""
+    from .dedup_docs import md5_hash60
+
+    comps = [
+        ((F.pmod(md5_hash60(F.col(text_col), i), F.lit(2000)) - 1000) / 1000.0).cast("double")
+        for i in range(dim)
+    ]
+    return df.withColumn("embedding", F.array(*comps))
