@@ -185,10 +185,13 @@ def bfs_distances(
                 .join(visited.select("entity_id"), "entity_id", "left_anti")
                 .withColumn("dist", F.lit(d))
             )
-            nxt = cut(nxt)
-            if nxt.limit(1).count() == 0:
+            # lazy cut + full count: the emptiness check IS the job that
+            # materializes the checkpoint — one job per depth, not two
+            # (same shape as _cc_loop's convergence check)
+            nxt = cut(nxt, eager=False)
+            if nxt.count() == 0:
                 break
-            visited = cut(visited.unionByName(nxt))
+            visited = cut(visited.unionByName(nxt), eager=False)
             frontier = nxt
     return visited
 
@@ -208,20 +211,41 @@ def _cap_frontier_pivot(
     the exchange is reused."""
     if cap is None:
         return frontier
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("last").orderBy("nodes")
-    ranked = frontier.withColumn("_pp", F.row_number().over(w))
+    # frontier is a lazily lineage-cut checkpoint; this partial-aggregated
+    # count pass is the job that materializes it (one job per level). The
+    # common (cold) case then skips the row_number window shuffle entirely,
+    # and the exact drop count falls out of the same aggregate. (An
+    # Observation-based fully-lazy variant was tried and rejected: metrics
+    # do not propagate through the localCheckpoint materialization the
+    # loop needs — measured n=0 through a lazy checkpoint.)
+    stats = (
+        frontier.groupBy("last")
+        .count()
+        .agg(
+            F.max("count").alias("mx"),
+            F.sum(
+                F.when(F.col("count") > cap, F.col("count") - cap).otherwise(0)
+            ).alias("n_drop"),
+        )
+        .first()
+    )
+    if stats is None or stats.mx is None or stats.mx <= cap:
+        return frontier
     if log_dropped:
         import logging
 
-        n_drop = ranked.where(F.col("_pp") > cap).count()
-        if n_drop:
-            logging.getLogger(__name__).warning(
-                "bounded_cycles: dropping %d paths above cap %d per pivot "
-                "(cycles through capped hubs may be missed)", n_drop, cap
-            )
-    return ranked.where(F.col("_pp") <= cap).drop("_pp")
+        logging.getLogger(__name__).warning(
+            "bounded_cycles: dropping %d paths above cap %d per pivot "
+            "(cycles through capped hubs may be missed)", stats.n_drop, cap
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("last").orderBy("nodes")
+    return (
+        frontier.withColumn("_pp", F.row_number().over(w))
+        .where(F.col("_pp") <= cap)
+        .drop("_pp")
+    )
 
 
 def bounded_cycles(
@@ -229,6 +253,7 @@ def bounded_cycles(
     max_len: int = 5,
     max_paths_per_pivot: int | None = 100_000,
     log_dropped: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """A11: directed simple cycles of length 2..max_len as
     (cycle_start, cycle_len), canonicalized so cycle_start = min node id in
@@ -246,9 +271,17 @@ def bounded_cycles(
       semi-joined away up front (most KG leaf entities vanish here);
     - hot-pivot cap (``max_paths_per_pivot``): bounds the per-node path
       fan-in before each extension join (see _cap_frontier_pivot). Capping
-      drops cycles only through hubs hotter than the cap, and logs it.
+      drops cycles only through hubs hotter than the cap, and logs the
+      exact drop count (one shallow aggregate over the cut frontier).
+
+    Per-level frontiers are lineage-cut (localCheckpoint, or reliable
+    ``checkpoint_dir`` on a real cluster), not persisted: with persist the
+    logical plan still carries the full per-level subtree and measured 3x
+    slower than an RDD-leaf cut (cache-substituted plan re-analysis + AQE
+    over a tree that doubles per level); without either, the plan
+    recomputes exponentially (measured 135 s vs 4 s at sf0.01).
     """
-    from ..caching import track
+    cut = lineage_cutter(edges, checkpoint_dir)
 
     e = edges.select(F.col("head_id").alias("a"), F.col("tail_id").alias("b")).distinct()
     # trim to nodes with both in- and out-edges (cycle membership requires both)
@@ -257,10 +290,11 @@ def bounded_cycles(
         .join(e.select(F.col("b").alias("n")), "n", "left_semi")
         .distinct()
     )
-    e = track(
+    e = cut(
         e.join(both.select(F.col("n").alias("a")), "a", "left_semi")
         .join(both.select(F.col("n").alias("b")), "b", "left_semi")
-        .select("a", "b")
+        .select("a", "b"),
+        eager=False,
     )
     frontier = e.where(F.col("b") > F.col("a")).select(
         F.col("a").alias("start"), F.col("b").alias("last"),
@@ -268,7 +302,11 @@ def bounded_cycles(
     )
     out = None
     for length in range(2, max_len + 1):
-        frontier = track(frontier)
+        # lazy cut + the cap check's aggregate materializes the checkpoint
+        # in the SAME job — one job per level, not two (same shape as
+        # _cc_loop's convergence check); the last level has no cap check
+        # and materializes in the caller's final action
+        frontier = cut(frontier, eager=False)
         closed = (
             frontier.alias("p")
             .join(
@@ -276,7 +314,6 @@ def bounded_cycles(
                 (F.col("p.last") == F.col("c.a")) & (F.col("c.b") == F.col("p.start")),
             )
             .select(F.col("p.start").alias("cycle_start"), F.lit(length).alias("cycle_len"))
-            .distinct()
         )
         out = closed if out is None else out.unionByName(closed)
         if length == max_len:
@@ -295,4 +332,7 @@ def bounded_cycles(
                 F.concat(F.col("p.nodes"), F.array(F.col("x.b"))).alias("nodes"),
             )
         )
-    return out
+    # one distinct over the union instead of one per length: (start, len)
+    # pairs never collide across lengths, and a single shuffle replaces
+    # max_len-1 of them
+    return out.distinct()
