@@ -51,6 +51,58 @@ def read_graph(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
     return out
 
 
+def write_graph_bucketed(
+    nodes: DataFrame,
+    edges: DataFrame,
+    db: str,
+    n_buckets: int = 64,
+    location: str | None = None,
+    edges_by_tail: bool = False,
+) -> None:
+    """Co-located graph store: the 100-TB analog of the reference's
+    storage backends (storage/base_storage.py:18 save_graph/load_graph —
+    there a JSON/Chroma blob, here bucketed+sorted Spark tables).
+
+    ``nodes`` is bucketed+sorted on entity_id and ``edges`` on head_id
+    with the SAME bucket count, so every entity-keyed join the analytics/
+    integrity operators run (degree, k-hop, dangling-edge checks,
+    adjacency builds) is shuffle-free on both sides — at web scale the
+    join shuffle, not the scan, is the dominant cost of repeated graph
+    queries, and pre-bucketing pays it once at write time.
+
+    ``edges_by_tail=True`` additionally writes ``edges_by_tail`` bucketed
+    on tail_id (the CSR+CSC trade: one extra copy at write time buys
+    shuffle-free joins from either end; a bucket column can only co-locate
+    one key). Bucket metadata lives in the session catalog — on a real
+    cluster back it with a persistent metastore (HMS/Glue); bucket counts
+    should be sized so each bucket is a few hundred MB at the target scale.
+    """
+    spark = nodes.sparkSession
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+
+    def _write(df: DataFrame, table: str, key: str) -> None:
+        w = df.write.mode("overwrite").bucketBy(n_buckets, key).sortBy(key)
+        if location is not None:
+            w = w.option("path", os.path.join(location, table))
+        w.saveAsTable(f"{db}.{table}")
+
+    _write(nodes, "nodes", "entity_id")
+    _write(edges, "edges", "head_id")
+    if edges_by_tail:
+        _write(edges, "edges_by_tail", "tail_id")
+
+
+def read_graph_bucketed(spark: SparkSession, db: str) -> dict[str, DataFrame]:
+    """Load the bucketed store written by write_graph_bucketed. Returned
+    frames carry the bucket spec, so equi-joins on the bucket key skip the
+    exchange (assert via plan in test_sources_sinks)."""
+    out = {}
+    for name in ("nodes", "edges", "edges_by_tail"):
+        if spark.catalog.tableExists(f"{db}.{name}"):
+            out[name] = spark.table(f"{db}.{name}")
+    return out
+
+
 def write_graph_json(nodes: DataFrame, edges: DataFrame, out_dir: str) -> None:
     """S8: JSON-lines export per table (the reference's graph.json nested
     dict becomes two json-lines tables; to_dict/from_dict round-trip,

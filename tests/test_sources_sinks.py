@@ -268,3 +268,48 @@ def test_decode_image_real_formats(spark):
              extract_media_features(media, out_dim=4).collect()}
     assert feats["m1"].n_bytes == len(ppm) and len(feats["m1"].feature) == 4
     assert feats["m2"].n_bytes == len(bmp) and len(feats["m2"].feature) == 4
+
+
+def test_bucketed_graph_store_joins_without_shuffle(spark, tmp_path):
+    """write_graph_bucketed co-locates nodes(entity_id) and edges(head_id):
+    an entity-keyed equi-join over the bucketed tables plans with NO
+    ShuffleExchange on either side (broadcast disabled to force the
+    sort-merge path the layout exists for), and round-trips the rows."""
+    from agraph_spark.io import read_graph_bucketed, write_graph_bucketed
+
+    nodes = spark.createDataFrame(
+        [(f"E{i}", f"name{i}", "t", 1.0) for i in range(50)],
+        "entity_id string, name string, entity_type string, confidence double",
+    )
+    edges = spark.createDataFrame(
+        [(f"E{i % 50}", f"E{(i * 7) % 50}", "rel", 0.9, "s") for i in range(200)],
+        "head_id string, tail_id string, pred string, confidence double, source string",
+    )
+    db = "bktest"
+    write_graph_bucketed(nodes, edges, db, n_buckets=4,
+                         location=str(tmp_path), edges_by_tail=True)
+    try:
+        t = read_graph_bucketed(spark, db)
+        assert set(t) == {"nodes", "edges", "edges_by_tail"}
+        assert t["edges"].count() == 200 and t["nodes"].count() == 50
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = t["edges"].join(
+                t["nodes"], t["edges"].head_id == t["nodes"].entity_id)
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan  # neither side shuffles
+            assert j.count() == 200
+
+            # tail-keyed joins use the CSC copy, also exchange-free
+            j2 = t["edges_by_tail"].join(
+                t["nodes"], t["edges_by_tail"].tail_id == t["nodes"].entity_id)
+            assert "Exchange" not in j2._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        for name in ("nodes", "edges", "edges_by_tail"):
+            spark.sql(f"DROP TABLE IF EXISTS {db}.{name}")
+        spark.sql(f"DROP DATABASE IF EXISTS {db}")
