@@ -198,24 +198,32 @@ def export_d3(nodes: DataFrame, edges: DataFrame, max_rows: int = 100_000) -> st
 TEXT_EXTS = {".txt", ".md", ".markdown", ".log"}
 JSON_EXTS = {".json", ".jsonl"}
 CSV_EXTS = {".csv", ".tsv"}
-STUB_EXTS = {".pdf": "pdf", ".docx": "word", ".doc": "word",
+STUB_EXTS = {".doc": "legacy-word",
              ".png": "image-ocr", ".jpg": "image-ocr", ".jpeg": "image-ocr"}
 HTML_EXTS = {".html", ".htm"}
 XLSX_EXTS = {".xlsx", ".xlsm"}
+DOCX_EXTS = {".docx"}
+PDF_EXTS = {".pdf"}
 
 
 def read_documents(spark: SparkSession, path: str) -> DataFrame:
     """S2: extension-dispatched document reader -> (conv_id, text).
 
     Text/markdown via wholeTextFiles-equivalent, JSON/CSV via native
-    readers (all columns stringified and joined). PDF/Word/OCR formats
-    raise NotImplementedError (codec libraries not in this container) —
-    the dispatch mirrors DocumentProcessorFactory (processer/factory.py)."""
+    readers (all columns stringified and joined); html/xlsx/docx/pdf via
+    stdlib parsers inside the binaryFile mapInPandas kernel. Legacy .doc
+    and image-OCR formats raise NotImplementedError (their codec libraries
+    are not in this container) — the dispatch mirrors
+    DocumentProcessorFactory (processer/factory.py)."""
     ext = os.path.splitext(path)[1].lower()
     if ext in HTML_EXTS:
         return _read_binary_documents(spark, path, _html_to_text)
     if ext in XLSX_EXTS:
         return _read_binary_documents(spark, path, _xlsx_to_text)
+    if ext in DOCX_EXTS:
+        return _read_binary_documents(spark, path, _docx_to_text)
+    if ext in PDF_EXTS:
+        return _read_binary_documents(spark, path, _pdf_to_text)
     if ext in STUB_EXTS:
         raise NotImplementedError(
             f"{STUB_EXTS[ext]} extraction requires codec libraries not present "
@@ -325,6 +333,154 @@ def _xlsx_to_text(raw: bytes) -> str:
             if rows:
                 out.append(f"Sheet {idx}:\n" + "\n".join(rows))
     return "\n\n".join(out)
+
+
+def _docx_to_text(raw: bytes) -> str:
+    """S2 word source via stdlib zipfile + ElementTree (python-docx is not
+    installed here). Mirrors the reference WordProcessor assembly
+    (processer/word_processor.py:72-136): non-empty stripped body
+    paragraphs joined by newline, then every table's rows appended after
+    all paragraphs, each row the tab-join of its cells (cell text = its
+    paragraphs newline-joined, stripped), keeping only rows with content."""
+    import io as _io
+    import zipfile
+    from xml.etree import ElementTree as ET
+
+    w = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+    with zipfile.ZipFile(_io.BytesIO(raw)) as z:
+        root = ET.fromstring(z.read("word/document.xml"))
+    body = root.find(f"{w}body")
+    if body is None:
+        return ""
+
+    def para_text(p) -> str:
+        # runs concatenate with no separator (python-docx Paragraph.text)
+        return "".join(t.text or "" for t in p.iter(f"{w}t"))
+
+    parts: list[str] = []
+    tables = []
+    for child in body:
+        if child.tag == f"{w}p":
+            txt = para_text(child).strip()
+            if txt:
+                parts.append(txt)
+        elif child.tag == f"{w}tbl":
+            tables.append(child)
+    for tbl in tables:
+        for tr in tbl.findall(f"{w}tr"):
+            cells = []
+            for tc in tr.findall(f"{w}tc"):
+                cells.append(
+                    "\n".join(para_text(p) for p in tc.findall(f"{w}p")).strip()
+                )
+            if any(cells):
+                parts.append("\t".join(cells))
+    return "\n".join(parts)
+
+
+def _pdf_unescape(s: bytes) -> str:
+    """PDF literal-string unescape (\\n \\r \\t \\b \\f \\( \\) \\\\ and
+    octal \\ddd); UTF-16BE strings (BOM FE FF) decoded as such, everything
+    else as Latin-1 (the standard-font assumption; see _pdf_to_text)."""
+    out = bytearray()
+    i = 0
+    esc = {ord("n"): 10, ord("r"): 13, ord("t"): 9, ord("b"): 8,
+           ord("f"): 12, ord("("): 40, ord(")"): 41, ord("\\"): 92}
+    while i < len(s):
+        c = s[i]
+        if c == 0x5C and i + 1 < len(s):  # backslash
+            nxt = s[i + 1]
+            if nxt in esc:
+                out.append(esc[nxt])
+                i += 2
+                continue
+            if 0x30 <= nxt <= 0x37:  # octal, up to 3 digits
+                j = i + 1
+                oct_digits = b""
+                while j < len(s) and len(oct_digits) < 3 and 0x30 <= s[j] <= 0x37:
+                    oct_digits += bytes([s[j]])
+                    j += 1
+                out.append(int(oct_digits, 8) & 0xFF)
+                i = j
+                continue
+            if nxt in (0x0A, 0x0D):  # line continuation
+                i += 2
+                continue
+            i += 1  # unknown escape: drop the backslash
+            continue
+        out.append(c)
+        i += 1
+    b = bytes(out)
+    if b[:2] == b"\xfe\xff":
+        try:
+            return b[2:].decode("utf-16-be")
+        except UnicodeDecodeError:
+            pass
+    return b.decode("latin-1")
+
+
+def _pdf_to_text(raw: bytes) -> str:
+    """S2 pdf source via pure stdlib (pypdf is not installed here):
+    FlateDecode content streams inflate with zlib, text shows as
+    Tj/TJ/'/\" operators inside BT..ET blocks. Mirrors the reference
+    PDFProcessor assembly (processer/pdf_processor.py:78-98): per-stream
+    text, non-empty streams joined by newline, streams in document order
+    (= page order for the linear PDFs this targets).
+
+    Honest scope: simple-font text PDFs (Latin-1/WinAnsi-ish or UTF-16BE
+    strings), plain or Flate-compressed. CID/Type0 composite fonts,
+    encryption, and object streams are out of scope — those need a real
+    PDF library; image-only PDFs extract as '' exactly like
+    pypdf.extract_text on an image page."""
+    import re as _re
+    import zlib
+
+    stream_pat = _re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)endstream", _re.S)
+    # literal string (no nested-paren handling beyond escapes: fine for
+    # generator output), hex string, and the operator that follows
+    tok_pat = _re.compile(
+        rb"\((?P<lit>(?:[^()\\]|\\.)*)\)\s*(?P<op>Tj|'|\")"
+        rb"|\[(?P<arr>(?:[^\]\\]|\\.)*)\]\s*TJ"
+        rb"|<(?P<hex>[0-9A-Fa-f\s]+)>\s*Tj"
+        rb"|(?P<nl>T\*|TD|Td)"
+    )
+    arr_lit = _re.compile(rb"\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]+>")
+
+    pages: list[str] = []
+    for m in stream_pat.finditer(raw):
+        head, data = m.group(1), m.group(2)
+        if b"/FlateDecode" in head:
+            try:
+                data = zlib.decompress(data.strip(b"\r\n"))
+            except zlib.error:
+                continue
+        if b"BT" not in data:
+            continue  # not a text content stream (font file, image, ...)
+        parts: list[str] = []
+        for t in tok_pat.finditer(data):
+            if t.group("lit") is not None:
+                s = _pdf_unescape(t.group("lit"))
+                if t.group("op") in (b"'", b'"'):
+                    parts.append("\n")
+                parts.append(s)
+            elif t.group("arr") is not None:
+                for frag in arr_lit.findall(t.group("arr")):
+                    if frag.startswith(b"("):
+                        parts.append(_pdf_unescape(frag[1:-1]))
+                    else:
+                        h = b"".join(frag[1:-1].split())
+                        parts.append(bytes.fromhex(h.decode()).decode("latin-1"))
+            elif t.group("hex") is not None:
+                h = b"".join(t.group("hex").split())
+                if len(h) % 2:
+                    h += b"0"
+                parts.append(bytes.fromhex(h.decode()).decode("latin-1"))
+            elif t.group("nl") is not None and parts and parts[-1] != "\n":
+                parts.append("\n")
+        text = "".join(parts).strip()
+        if text:
+            pages.append(text)
+    return "\n".join(pages)
 
 
 def _read_binary_documents(spark: SparkSession, path: str, to_text) -> DataFrame:

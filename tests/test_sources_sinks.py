@@ -135,8 +135,8 @@ def test_read_documents_dispatch(spark, tmp_path):
     p.write_text("hello world doc")
     docs = read_documents(spark, str(p))
     assert docs.first().text == "hello world doc"
-    with pytest.raises(NotImplementedError, match="pdf"):
-        read_documents(spark, "/nonexistent/x.pdf")
+    with pytest.raises(NotImplementedError, match="legacy-word"):
+        read_documents(spark, "/nonexistent/x.doc")
 
 
 def test_salted_aggregations(spark):
@@ -313,3 +313,81 @@ def test_bucketed_graph_store_joins_without_shuffle(spark, tmp_path):
         for name in ("nodes", "edges", "edges_by_tail"):
             spark.sql(f"DROP TABLE IF EXISTS {db}.{name}")
         spark.sql(f"DROP DATABASE IF EXISTS {db}")
+
+
+def _mini_docx() -> bytes:
+    """Minimal OOXML word document: two paragraphs + one 2x2 table."""
+    import io as _io
+    import zipfile
+
+    doc = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">
+ <w:body>
+  <w:p><w:r><w:t>Alice works at Acme Corp.</w:t></w:r>
+       <w:r><w:t xml:space="preserve"> She leads the graph team.</w:t></w:r></w:p>
+  <w:p><w:r><w:t>   </w:t></w:r></w:p>
+  <w:tbl>
+   <w:tr><w:tc><w:p><w:r><w:t>name</w:t></w:r></w:p></w:tc>
+         <w:tc><w:p><w:r><w:t>role</w:t></w:r></w:p></w:tc></w:tr>
+   <w:tr><w:tc><w:p><w:r><w:t>Bob</w:t></w:r></w:p></w:tc>
+         <w:tc><w:p><w:r><w:t>engineer</w:t></w:r></w:p></w:tc></w:tr>
+  </w:tbl>
+  <w:p><w:r><w:t>Closing line.</w:t></w:r></w:p>
+ </w:body>
+</w:document>"""
+    buf = _io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr("word/document.xml", doc)
+    return buf.getvalue()
+
+
+def _mini_pdf() -> bytes:
+    """Minimal one-page PDF whose content stream is Flate-compressed."""
+    import zlib
+
+    content = (b"BT /F1 12 Tf 72 700 Td (Knowledge graphs link entities.) Tj "
+               b"0 -14 TD [(Spark) -250 (scales) -250 (them.)] TJ ET")
+    comp = zlib.compress(content)
+    objs = [
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n",
+        b"4 0 obj << /Length %d /Filter /FlateDecode >> stream\n" % len(comp)
+        + comp + b"\nendstream endobj\n",
+    ]
+    return b"%PDF-1.4\n" + b"".join(objs) + b"%%EOF\n"
+
+
+def test_docx_and_pdf_extraction(spark, tmp_path):
+    """S2 pdf/docx de-stub: stdlib extraction end-to-end through the
+    binaryFile mapInPandas reader; legacy .doc stays NotImplementedError."""
+    import pytest as _pt
+
+    from agraph_spark.io import _docx_to_text, _pdf_to_text, read_documents
+
+    docx = _mini_docx()
+    txt = _docx_to_text(docx)
+    # reference WordProcessor appends ALL tables after ALL paragraphs
+    # (word_processor.py:94-106), so "Closing line." precedes the table
+    assert txt == ("Alice works at Acme Corp. She leads the graph team.\n"
+                   "Closing line.\nname\trole\nBob\tengineer")
+
+    pdf = _mini_pdf()
+    ptxt = _pdf_to_text(pdf)
+    assert ptxt == "Knowledge graphs link entities.\nSparkscalesthem."
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "a.docx").write_bytes(docx)
+    rows = {r.conv_id: r.text for r in
+            read_documents(spark, str(d / "*.docx")).collect()}
+    assert rows["a.docx"].startswith("Alice works at Acme")
+
+    (d / "b.pdf").write_bytes(pdf)
+    prows = {r.conv_id: r.text for r in
+             read_documents(spark, str(d / "*.pdf")).collect()}
+    assert "Knowledge graphs link entities." in prows["b.pdf"]
+
+    with _pt.raises(NotImplementedError):
+        read_documents(spark, str(d / "c.doc"))
