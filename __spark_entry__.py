@@ -515,6 +515,38 @@ def q_kg_search_multi_md5(spark, sf_dir):
     return out.select("item_id", "namespace", F.round("score", 3).alias("score"))
 
 
+def q_v11_search_modes(spark, sf_dir):
+    """Native LightRAG-style hybrid search (lightrag_builder.py:313-362)
+    over md5-stub embeddings with deterministic structural edges/links —
+    local (entity-seeded) ∪ global (relation-seeded) with per-item best
+    score, fully DuckDB-twinnable."""
+    from agraph_spark.operators.retrieval import search_graph_modes
+    from agraph_spark.operators.vectors import embed_md5_stub
+
+    d = _docs(spark, sf_dir)
+    nodes = embed_md5_stub(
+        d.select(F.concat(F.lit("e"), "conv_id").alias("entity_id"),
+                 F.substring("text", 1, 40).alias("render_text")))
+    edges = embed_md5_stub(
+        d.select(F.concat(F.lit("r"), "conv_id").alias("edge_id"),
+                 F.concat(F.lit("e"), "conv_id").alias("head_id"),
+                 F.concat(F.lit("e"), (F.col("doc_id") % 50).cast("string")).alias("tail_id"),
+                 F.substring("text", 20, 40).alias("render_text")))
+    chunks = embed_md5_stub(
+        d.select(F.col("conv_id").alias("chunk_id"),
+                 F.col("text").alias("render_text")))
+    links = d.select(
+        F.col("conv_id").alias("chunk_id"),
+        F.concat(F.lit("e"), ((F.col("doc_id") * 3) % 100).cast("string")).alias("entity_id"))
+    q = embed_md5_stub(
+        spark.createDataFrame([("table join query",)], "render_text string")
+    ).select(F.col("embedding").alias("query_vec"))
+    out = search_graph_modes(nodes, edges, chunks, q, mode="hybrid", k=5,
+                             chunk_entity_links=links, threshold=-1.0)
+    return out.select("item_id", "namespace",
+                      F.round("score", 3).alias("score"), "origin")
+
+
 # ------------------------------------------------------------ TPC-H sanity
 
 def q_tpch_q1(spark, sf_dir):
@@ -992,6 +1024,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "kg_chunks": q_kg_chunks,
         "kg_search_multi": q_kg_search_multi,
         "kg_search_multi_md5": q_kg_search_multi_md5,
+        "v11_search_modes": q_v11_search_modes,
         "f1_entity_filter": q_f1_entity_filter,
         "d9_upsert": q_d9_upsert,
         "db_schema": q_db_schema,
@@ -1692,6 +1725,90 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             QUALIFY row_number() OVER (PARTITION BY namespace
                                        ORDER BY raw DESC, item_id ASC) <= 5""",
+        "v11_search_modes": r"""
+            WITH items AS (
+              SELECT 'e' || doc_id::VARCHAR AS item_id, 'entity' AS namespace,
+                     substring(text, 1, 40) AS txt FROM documents
+              UNION ALL
+              SELECT 'r' || doc_id::VARCHAR, 'relation', substring(text, 20, 40)
+              FROM documents
+              UNION ALL
+              SELECT doc_id::VARCHAR, 'text_chunk', text FROM documents
+              UNION ALL
+              SELECT '__query__', 'query', 'table join query'
+            ),
+            comps AS (
+              SELECT item_id, namespace, i,
+                     ((('0x' || substring(md5(i::VARCHAR || '#' || txt), 1, 15))::UBIGINT
+                        % 2000)::BIGINT - 1000) / 1000.0 AS c
+              FROM items CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) dim
+            ),
+            emb AS (
+              SELECT item_id, namespace, list(c ORDER BY i) AS v
+              FROM comps GROUP BY item_id, namespace
+            ),
+            q AS (SELECT v AS qv FROM emb WHERE namespace = 'query'),
+            scored AS (
+              SELECT item_id, namespace, list_cosine_similarity(v, qv) AS raw
+              FROM emb, q WHERE namespace <> 'query'
+            ),
+            struct_edges AS (
+              SELECT 'r' || doc_id::VARCHAR AS edge_id,
+                     'e' || doc_id::VARCHAR AS head_id,
+                     'e' || (doc_id % 50)::VARCHAR AS tail_id
+              FROM documents
+            ),
+            links AS (
+              SELECT doc_id::VARCHAR AS chunk_id,
+                     'e' || ((doc_id * 3) % 100)::VARCHAR AS entity_id
+              FROM documents
+            ),
+            seed_e AS (
+              SELECT item_id AS entity_id, raw FROM scored WHERE namespace = 'entity'
+              QUALIFY row_number() OVER (ORDER BY raw DESC, item_id ASC) <= 5
+            ),
+            seed_r AS (
+              SELECT item_id AS edge_id, raw FROM scored WHERE namespace = 'relation'
+              QUALIFY row_number() OVER (ORDER BY raw DESC, item_id ASC) <= 5
+            ),
+            local_all AS (
+              SELECT entity_id AS item_id, 'entity' AS namespace, raw FROM seed_e
+              UNION ALL
+              SELECT se.edge_id, 'relation', max(s.raw)
+              FROM struct_edges se JOIN seed_e s
+                ON se.head_id = s.entity_id OR se.tail_id = s.entity_id
+              GROUP BY se.edge_id
+              UNION ALL
+              SELECT l.chunk_id, 'text_chunk', max(s.raw)
+              FROM links l JOIN seed_e s ON l.entity_id = s.entity_id
+              GROUP BY l.chunk_id
+            ),
+            global_ends AS (
+              SELECT u.entity_id, max(s.raw) AS raw
+              FROM (SELECT edge_id, head_id AS entity_id FROM struct_edges
+                    UNION ALL
+                    SELECT edge_id, tail_id FROM struct_edges) u
+              JOIN seed_r s ON u.edge_id = s.edge_id
+              GROUP BY u.entity_id
+            ),
+            global_all AS (
+              SELECT edge_id AS item_id, 'relation' AS namespace, raw FROM seed_r
+              UNION ALL
+              SELECT entity_id, 'entity', raw FROM global_ends
+              UNION ALL
+              SELECT l.chunk_id, 'text_chunk', max(g.raw)
+              FROM links l JOIN global_ends g ON l.entity_id = g.entity_id
+              GROUP BY l.chunk_id
+            ),
+            u AS (
+              SELECT item_id, namespace, raw, 'local' AS origin FROM local_all
+              UNION ALL
+              SELECT item_id, namespace, raw, 'global' FROM global_all
+            )
+            SELECT item_id, namespace, round(raw, 3)::DOUBLE AS score, origin
+            FROM u
+            QUALIFY row_number() OVER (PARTITION BY namespace, item_id
+                                       ORDER BY raw DESC, origin DESC) = 1""",
         "v8_union_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
             u AS (

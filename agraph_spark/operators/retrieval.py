@@ -117,6 +117,135 @@ def expand_connected_chunks(
     )
 
 
+def search_graph_modes(
+    nodes: DataFrame,
+    edges_rendered: DataFrame,
+    chunks: DataFrame,
+    query: DataFrame,
+    mode: str = "hybrid",
+    k: int = 5,
+    chunk_entity_links: DataFrame | None = None,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Native naive/local/global/hybrid graph search — the engine-side
+    restatement of the reference's asearch_graph delegation
+    (builders/lightrag_builder.py:313-362, QueryParam(mode=...)); the
+    reference hands these modes to the external LightRAG library, so the
+    semantics here follow LightRAG's published design, re-expressed as
+    DataFrame joins:
+
+    - ``naive``: top-k chunks by cosine (plain vector retrieval).
+    - ``local``: entity-centric — top-k entities seed the result; their
+      incident relations and (via ``chunk_entity_links``) their source
+      chunks join it, scored by the max seed-entity score.
+    - ``global``: relation/theme-centric — top-k relations seed; their
+      endpoint entities and those entities' chunks join, scored by the
+      max seed-relation score.
+    - ``hybrid``: union of local and global, deduplicated per
+      (namespace, item_id) keeping the best score.
+
+    ``edges_rendered`` needs (edge_id, head_id, tail_id, embedding).
+    Seeds are k rows — every structural join broadcasts them, so the cost
+    is one scored scan per seeded namespace plus broadcast lookups.
+    Returns (item_id, namespace, score, origin).
+    """
+    out_cols = ["item_id", "namespace", "score", "origin"]
+
+    def _topk(df: DataFrame, id_col: str, ns: str) -> DataFrame:
+        return (
+            _scored(df, query)
+            .where(F.col("score") >= threshold)
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k)
+            .select(
+                F.col(id_col).alias("item_id"),
+                F.lit(ns).alias("namespace"),
+                F.col("score"),
+            )
+        )
+
+    def _linked_chunks(seed_entities: DataFrame, origin: str) -> DataFrame:
+        if chunk_entity_links is None:
+            spark = nodes.sparkSession
+            return spark.createDataFrame(
+                [], "item_id string, namespace string, score double, origin string"
+            )
+        return (
+            chunk_entity_links.select("chunk_id", "entity_id")
+            .join(F.broadcast(seed_entities), "entity_id")
+            .groupBy(F.col("chunk_id").alias("item_id"))
+            .agg(F.max("score").alias("score"))
+            .select(
+                "item_id", F.lit("text_chunk").alias("namespace"),
+                "score", F.lit(origin).alias("origin"),
+            )
+        )
+
+    def _local() -> DataFrame:
+        seeds = _topk(nodes, "entity_id", "entity")
+        seed_e = seeds.select(F.col("item_id").alias("entity_id"), "score")
+        rels = (
+            edges_rendered.select("edge_id", "head_id", "tail_id")
+            .join(
+                F.broadcast(seed_e),
+                (F.col("head_id") == F.col("entity_id"))
+                | (F.col("tail_id") == F.col("entity_id")),
+            )
+            .groupBy(F.col("edge_id").alias("item_id"))
+            .agg(F.max("score").alias("score"))
+            .select("item_id", F.lit("relation").alias("namespace"), "score",
+                    F.lit("local").alias("origin"))
+        )
+        return (
+            seeds.withColumn("origin", F.lit("local")).select(out_cols)
+            .unionByName(rels.select(out_cols))
+            .unionByName(_linked_chunks(seed_e, "local").select(out_cols))
+        )
+
+    def _global() -> DataFrame:
+        seeds = _topk(edges_rendered, "edge_id", "relation")
+        seed_r = seeds.select(F.col("item_id").alias("edge_id"), "score")
+        ends = (
+            edges_rendered.select("edge_id", "head_id", "tail_id")
+            .join(F.broadcast(seed_r), "edge_id")
+            .select(
+                F.explode(F.array("head_id", "tail_id")).alias("entity_id"),
+                "score",
+            )
+            .groupBy("entity_id")
+            .agg(F.max("score").alias("score"))
+        )
+        ents = ends.select(
+            F.col("entity_id").alias("item_id"),
+            F.lit("entity").alias("namespace"), "score",
+            F.lit("global").alias("origin"),
+        )
+        return (
+            seeds.withColumn("origin", F.lit("global")).select(out_cols)
+            .unionByName(ents.select(out_cols))
+            .unionByName(_linked_chunks(ends, "global").select(out_cols))
+        )
+
+    if mode == "naive":
+        return _topk(chunks, "chunk_id", "text_chunk").withColumn(
+            "origin", F.lit("naive")
+        ).select(out_cols)
+    if mode == "local":
+        return _local()
+    if mode == "global":
+        return _global()
+    if mode == "hybrid":
+        u = _local().unionByName(_global())
+        return (
+            u.groupBy("item_id", "namespace")
+            .agg(F.max(F.struct("score", "origin")).alias("best"))
+            .select("item_id", "namespace",
+                    F.col("best.score").alias("score"),
+                    F.col("best.origin").alias("origin"))
+        )
+    raise ValueError(f"unknown search mode: {mode!r}")
+
+
 # ----------------------------------------------------------------- V10 chat
 
 # Reference system prompt (agraph/config.py:85-120, RAG_SYS_PROMPT) —

@@ -193,3 +193,54 @@ def test_render_text_reference_forms(spark):
         "chunk_type string, metadata map<string,string>")
     assert render_chunk_text(typed).collect()[0].render_text == \
         "Content: body | Type: code | Metadata: lang: py, n: 3"
+
+
+def test_search_graph_modes(spark):
+    """Native naive/local/global/hybrid search over a planted graph: each
+    mode seeds from its namespace and expands along the declared joins."""
+    from agraph_spark.operators.retrieval import search_graph_modes
+
+    # query vector aligned with E1 (entities), R9 (relations), C7 (chunks)
+    q = spark.createDataFrame([([1.0, 0.0],)], "query_vec array<double>")
+    nodes = spark.createDataFrame(
+        [("E1", [1.0, 0.0]), ("E2", [0.9, 0.1]), ("E3", [0.0, 1.0])],
+        "entity_id string, embedding array<double>")
+    edges = spark.createDataFrame(
+        [("R9", "E3", "E4", [1.0, 0.0]),   # best relation, endpoints E3/E4
+         ("R1", "E1", "E3", [0.0, 1.0]),   # incident to seed entity E1
+         ("R2", "E5", "E6", [0.1, 0.9])],  # disconnected from seeds
+        "edge_id string, head_id string, tail_id string, embedding array<double>")
+    chunks = spark.createDataFrame(
+        [("C7", [1.0, 0.0]), ("C8", [0.0, 1.0])],
+        "chunk_id string, embedding array<double>")
+    links = spark.createDataFrame(
+        [("C8", "E1"), ("C7", "E4")], "chunk_id string, entity_id string")
+
+    def got(mode, k=2):
+        return {(r.namespace, r.item_id, r.origin) for r in search_graph_modes(
+            nodes, edges, chunks, q, mode=mode, k=k,
+            chunk_entity_links=links, threshold=-1.0).collect()}
+
+    assert got("naive") == {("text_chunk", "C7", "naive"),
+                            ("text_chunk", "C8", "naive")}
+
+    # local: seeds E1,E2 -> incident relation R1 -> E1's chunk C8
+    assert got("local") == {("entity", "E1", "local"), ("entity", "E2", "local"),
+                            ("relation", "R1", "local"),
+                            ("text_chunk", "C8", "local")}
+
+    # global: seeds R9,R2 -> endpoints E3,E4,E5,E6 -> E4's chunk C7
+    g = got("global")
+    assert ("relation", "R9", "global") in g and ("relation", "R2", "global") in g
+    assert {("entity", e, "global") for e in ["E3", "E4", "E5", "E6"]} <= g
+    assert ("text_chunk", "C7", "global") in g
+
+    # hybrid = union, deduped per (namespace, item_id)
+    h = got("hybrid")
+    ids = {(ns, i) for ns, i, _ in h}
+    assert ids == {(ns, i) for ns, i, _ in got("local") | got("global")}
+    assert len(ids) == len(h)  # no duplicate (namespace, item_id)
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        search_graph_modes(nodes, edges, chunks, q, mode="bogus")
