@@ -206,7 +206,12 @@ DOCX_EXTS = {".docx"}
 PDF_EXTS = {".pdf"}
 
 
-def read_documents(spark: SparkSession, path: str) -> DataFrame:
+def read_documents(
+    spark: SparkSession,
+    path: str,
+    skip_corrupt: bool = True,
+    with_errors: bool = False,
+) -> DataFrame:
     """S2: extension-dispatched document reader -> (conv_id, text).
 
     Text/markdown via wholeTextFiles-equivalent, JSON/CSV via native
@@ -214,16 +219,22 @@ def read_documents(spark: SparkSession, path: str) -> DataFrame:
     stdlib parsers inside the binaryFile mapInPandas kernel. Legacy .doc
     and image-OCR formats raise NotImplementedError (their codec libraries
     are not in this container) — the dispatch mirrors
-    DocumentProcessorFactory (processer/factory.py)."""
+    DocumentProcessorFactory (processer/factory.py).
+
+    For the binary formats, ``skip_corrupt`` (default) quarantines files
+    the parser rejects as text=NULL rows instead of aborting the scan;
+    ``with_errors=True`` keeps the per-file ``parse_error`` column for
+    auditing the rejects."""
     ext = os.path.splitext(path)[1].lower()
-    if ext in HTML_EXTS:
-        return _read_binary_documents(spark, path, _html_to_text)
-    if ext in XLSX_EXTS:
-        return _read_binary_documents(spark, path, _xlsx_to_text)
-    if ext in DOCX_EXTS:
-        return _read_binary_documents(spark, path, _docx_to_text)
-    if ext in PDF_EXTS:
-        return _read_binary_documents(spark, path, _pdf_to_text)
+    binary_parsers = {**{e: _html_to_text for e in HTML_EXTS},
+                      **{e: _xlsx_to_text for e in XLSX_EXTS},
+                      **{e: _docx_to_text for e in DOCX_EXTS},
+                      **{e: _pdf_to_text for e in PDF_EXTS}}
+    if ext in binary_parsers:
+        out = _read_binary_documents(
+            spark, path, binary_parsers[ext], skip_corrupt=skip_corrupt
+        )
+        return out if with_errors else out.drop("parse_error")
     if ext in STUB_EXTS:
         raise NotImplementedError(
             f"{STUB_EXTS[ext]} extraction requires codec libraries not present "
@@ -483,26 +494,47 @@ def _pdf_to_text(raw: bytes) -> str:
     return "\n".join(pages)
 
 
-def _read_binary_documents(spark: SparkSession, path: str, to_text) -> DataFrame:
+def _read_binary_documents(
+    spark: SparkSession, path: str, to_text, skip_corrupt: bool = True
+) -> DataFrame:
     """binaryFile scan -> per-file text extraction inside a mapInPandas
     kernel: file parsing runs ON EXECUTORS, one Arrow batch of files at a
-    time — a directory of millions of files distributes like any scan."""
+    time — a directory of millions of files distributes like any scan.
+
+    ``skip_corrupt`` (default): a file the parser rejects yields
+    text=NULL + its error in ``parse_error`` instead of throwing — at web
+    scale one truncated upload must not abort a million-file job. Filter
+    ``parse_error IS NOT NULL`` to audit the rejects. NotImplementedError
+    (unsupported sub-format, e.g. an encrypted PDF) is captured the same
+    way. Pass skip_corrupt=False for fail-fast semantics."""
     from collections.abc import Iterator
 
     import pandas as pd
 
     files = spark.read.format("binaryFile").load(path).select("path", "content")
 
+    def extract(raw: bytes):
+        if not skip_corrupt:
+            return to_text(raw), None
+        try:
+            return to_text(raw), None
+        except Exception as e:  # noqa: BLE001 - per-file quarantine
+            return None, f"{type(e).__name__}: {e}"
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            pairs = pdf["content"].map(extract)
             yield pd.DataFrame({
                 "conv_id": pdf["path"].map(lambda p: p.rsplit("/", 1)[-1]),
-                "text": pdf["content"].map(to_text),
+                "text": pairs.map(lambda t: t[0]),
+                "parse_error": pairs.map(lambda t: t[1]),
             })
 
-    return files.mapInPandas(kernel, schema="conv_id string, text string")
+    return files.mapInPandas(
+        kernel, schema="conv_id string, text string, parse_error string"
+    )
 
 
 # LightRAG GraphML attribute keys (lightrag_builder.py:383-559):

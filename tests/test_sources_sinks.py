@@ -391,3 +391,27 @@ def test_docx_and_pdf_extraction(spark, tmp_path):
 
     with _pt.raises(NotImplementedError):
         read_documents(spark, str(d / "c.doc"))
+
+
+def test_corrupt_file_quarantine(spark, tmp_path):
+    """One truncated upload must not abort a million-file scan: corrupt
+    binary-format files become text=NULL (+ parse_error when requested);
+    skip_corrupt=False restores fail-fast."""
+    d = tmp_path / "mix"
+    d.mkdir()
+    (d / "good.docx").write_bytes(_mini_docx())
+    (d / "bad.docx").write_bytes(b"this is not a zip archive")
+
+    rows = {r.conv_id: r for r in
+            read_documents(spark, str(d / "*.docx"), with_errors=True).collect()}
+    assert rows["good.docx"].text.startswith("Alice works")
+    assert rows["good.docx"].parse_error is None
+    assert rows["bad.docx"].text is None
+    assert "BadZipFile" in rows["bad.docx"].parse_error
+
+    # default shape stays (conv_id, text)
+    assert read_documents(spark, str(d / "*.docx")).columns == ["conv_id", "text"]
+
+    import pytest as _pt
+    with _pt.raises(Exception):
+        read_documents(spark, str(d / "*.docx"), skip_corrupt=False).collect()
