@@ -707,6 +707,70 @@ def q_g_all_paths(spark, sf_dir):
     return out.select(F.concat_ws("->", "path").alias("path"), "depth")
 
 
+def q_d6_repoint(spark, sf_dir):
+    """D6 edge repoint (entity_merger.py:118-147): suppliers divisible by 3
+    merge into their nation; both FK columns of every edge follow the
+    mapping. Full post-repoint edge rows hash-matched."""
+    from agraph_spark.operators.linking import repoint_edges
+
+    _, edges = _g(spark, sf_dir)
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    mapping = sup.where(F.col("s_suppkey") % 3 == 0).select(
+        F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("entity_id"),
+        F.concat(F.lit("N"), F.col("s_nationkey").cast("string")).alias("canonical_id"),
+    )
+    return repoint_edges(edges, mapping).select(
+        "head_id", "tail_id", "pred", F.round("confidence", 3).alias("confidence"),
+        "source")
+
+
+def q_g2_cascade(spark, sf_dir):
+    """G2 cascading delete (graph.py:109-138): removing every 5th nation
+    drops all incident edges; surviving edge rows hash-matched."""
+    from agraph_spark.operators.integrity import cascade_delete_entities
+
+    _, edges = _g(spark, sf_dir)
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    deleted = nat.where(F.col("n_nationkey") % 5 == 0).select(
+        F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("entity_id"))
+    return cascade_delete_entities(edges, deleted).select(
+        "head_id", "tail_id", "pred", F.round("confidence", 3).alias("confidence"),
+        "source")
+
+
+def q_d10_merge(spark, sf_dir):
+    """D10 graph merging (mixins.py:42-96): the tpch graph unioned with a
+    second graph whose nations carry different ids but identical names —
+    alignment by normalized name, survivor = min entity_id, merged node
+    keeps the max-confidence representative and sums mentions."""
+    from agraph_spark.operators.graph_queries import merge_graphs
+
+    nodes, edges = _g(spark, sf_dir)
+    nodes = nodes.withColumn("name_norm", F.lower("name")) \
+        .withColumn("aliases", F.lit(None).cast("array<string>")) \
+        .withColumn("n_mentions", F.lit(None).cast("bigint"))
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nodes_b = nat.select(
+        F.concat(F.lit("M"), F.col("n_nationkey").cast("string")).alias("entity_id"),
+        F.col("n_name").alias("name"),
+        F.lit("nation").alias("entity_type"),
+        F.lit(0.95).alias("confidence"),
+        F.lower("n_name").alias("name_norm"),
+        F.lit(None).cast("array<string>").alias("aliases"),
+        F.lit(None).cast("bigint").alias("n_mentions"),
+    )
+    edges_b = nat.select(
+        F.concat(F.lit("M"), F.col("n_nationkey").cast("string")).alias("head_id"),
+        F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias("tail_id"),
+        F.lit("located_in").alias("pred"),
+        F.lit(0.95).alias("confidence"),
+        F.lit("b").alias("source"),
+    )
+    mn, me = merge_graphs([nodes, nodes_b], [edges, edges_b])
+    return mn.select("entity_id", "name", "entity_type",
+                     F.round("confidence", 3).alias("confidence"), "n_mentions")
+
+
 def q_g_paths_multi(spark, sf_dir):
     """A10 hardened (VERDICT r2 #6): simple paths R0 -> EVERY supplier in
     region 0 — the target set arrives as a semi-joined DataFrame, no scalar
@@ -1034,6 +1098,9 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "g_empty_names": q_g_empty_names,
         "g_all_paths": q_g_all_paths,
         "g_paths_multi": q_g_paths_multi,
+        "d6_repoint": q_d6_repoint,
+        "g2_cascade": q_g2_cascade,
+        "d10_merge": q_d10_merge,
         "v_hybrid": q_v_hybrid,
         "v10_chat_ctx": q_v10_chat_ctx,
         "v_topk": q_v_topk,
@@ -1192,6 +1259,53 @@ def oracle_sql() -> dict[str, str]:
             WHERE head_id IN (SELECT entity_id FROM nodes)
               AND tail_id IN (SELECT entity_id FROM nodes)
             GROUP BY pred""",
+        "d6_repoint": _GC + """,
+            mapping AS (
+              SELECT 'S' || s_suppkey AS eid, 'N' || s_nationkey AS cid
+              FROM supplier WHERE s_suppkey % 3 = 0
+            )
+            SELECT coalesce(mh.cid, e.head_id) AS head_id,
+                   coalesce(mt.cid, e.tail_id) AS tail_id,
+                   e.pred, round(e.confidence, 3)::DOUBLE AS confidence, e.source
+            FROM edges e
+            LEFT JOIN mapping mh ON e.head_id = mh.eid
+            LEFT JOIN mapping mt ON e.tail_id = mt.eid""",
+        "g2_cascade": _GC + """,
+            del AS (SELECT 'N' || n_nationkey AS entity_id FROM nation
+                    WHERE n_nationkey % 5 = 0)
+            SELECT head_id, tail_id, pred,
+                   round(confidence, 3)::DOUBLE AS confidence, source
+            FROM edges e
+            WHERE head_id NOT IN (SELECT entity_id FROM del)
+              AND tail_id NOT IN (SELECT entity_id FROM del)""",
+        "d10_merge": _GC + """,
+            all_nodes AS (
+              SELECT entity_id, name, entity_type, confidence,
+                     lower(name) AS name_norm
+              FROM nodes
+              UNION ALL
+              SELECT 'M' || n_nationkey, n_name, 'nation', 0.95, lower(n_name)
+              FROM nation
+            ),
+            survivor AS (
+              SELECT name_norm, min(entity_id) AS canonical_id
+              FROM all_nodes GROUP BY name_norm
+            ),
+            canon AS (
+              SELECT n.*, s.canonical_id
+              FROM all_nodes n JOIN survivor s ON n.name_norm = s.name_norm
+            ),
+            best AS (
+              SELECT canonical_id AS entity_id, name, entity_type,
+                     max(confidence) OVER (PARTITION BY canonical_id) AS confidence,
+                     count(*) OVER (PARTITION BY canonical_id)::BIGINT AS n_mentions,
+                     row_number() OVER (PARTITION BY canonical_id
+                                        ORDER BY confidence DESC, canon.entity_id DESC) AS rk
+              FROM canon
+            )
+            SELECT entity_id, name, entity_type,
+                   round(confidence, 3)::DOUBLE AS confidence, n_mentions
+            FROM best WHERE rk = 1""",
         "g_components": _GC + _SYM_SQL + "SELECT entity_id, component FROM comp",
         "g_component_sizes": _GC + _SYM_SQL
         + "SELECT component, count(*)::BIGINT AS size FROM comp GROUP BY component",
