@@ -771,6 +771,42 @@ def q_d10_merge(spark, sf_dir):
                      F.round("confidence", 3).alias("confidence"), "n_mentions")
 
 
+_G3_NAMES = ["spark", "graph", "entity", "join", "table"]
+
+
+def q_g3_links(spark, sf_dir):
+    """G3 chunk→entity linking (llm_builders.py:770-812): documents as
+    chunks, a literal name list as the per-conversation entity set;
+    substring containment inside the conv_id equi-join."""
+    from agraph_spark.operators.chunking import link_chunks_to_entities
+
+    d = _docs(spark, sf_dir)
+    chunks = d.select(F.col("conv_id").alias("chunk_id"), "conv_id",
+                      F.col("text").alias("content"))
+    names = spark.createDataFrame([(w,) for w in _G3_NAMES], "name_norm string")
+    ents = d.select("conv_id").crossJoin(F.broadcast(names))
+    return link_chunks_to_entities(chunks, ents)
+
+
+def q_g3_rel_links(spark, sf_dir):
+    """G3 relation side (llm_builders.py:795-806): a chunk links to a
+    relation only when BOTH endpoint names are contained — two semi-joins
+    against the chunk-entity link table."""
+    from agraph_spark.operators.chunking import (
+        link_chunks_to_entities, link_chunks_to_relations)
+
+    d = _docs(spark, sf_dir)
+    chunks = d.select(F.col("conv_id").alias("chunk_id"), "conv_id",
+                      F.col("text").alias("content"))
+    names = spark.createDataFrame([(w,) for w in _G3_NAMES], "name_norm string")
+    ents = d.select("conv_id").crossJoin(F.broadcast(names))
+    links = link_chunks_to_entities(chunks, ents)
+    trips = spark.createDataFrame(
+        [("g", "spark", "uses", "table"), ("g", "graph", "links", "entity")],
+        "conv_id string, subj string, pred string, obj string")
+    return link_chunks_to_relations(links, trips)
+
+
 def q_g_paths_multi(spark, sf_dir):
     """A10 hardened (VERDICT r2 #6): simple paths R0 -> EVERY supplier in
     region 0 — the target set arrives as a semi-joined DataFrame, no scalar
@@ -1101,6 +1137,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "d6_repoint": q_d6_repoint,
         "g2_cascade": q_g2_cascade,
         "d10_merge": q_d10_merge,
+        "g3_links": q_g3_links,
+        "g3_rel_links": q_g3_rel_links,
         "v_hybrid": q_v_hybrid,
         "v10_chat_ctx": q_v10_chat_ctx,
         "v_topk": q_v_topk,
@@ -1278,6 +1316,27 @@ def oracle_sql() -> dict[str, str]:
             FROM edges e
             WHERE head_id NOT IN (SELECT entity_id FROM del)
               AND tail_id NOT IN (SELECT entity_id FROM del)""",
+        "g3_links": """
+            WITH names(name_norm) AS (
+              VALUES ('spark'), ('graph'), ('entity'), ('join'), ('table'))
+            SELECT doc_id::VARCHAR AS chunk_id, doc_id::VARCHAR AS conv_id,
+                   name_norm
+            FROM documents, names
+            WHERE instr(lower(text), name_norm) > 0""",
+        "g3_rel_links": """
+            WITH names(name_norm) AS (
+              VALUES ('spark'), ('graph'), ('entity'), ('join'), ('table')),
+            links AS (
+              SELECT doc_id::VARCHAR AS chunk_id, name_norm
+              FROM documents, names
+              WHERE instr(lower(text), name_norm) > 0),
+            trips(conv_id, subj, pred, obj) AS (
+              VALUES ('g', 'spark', 'uses', 'table'),
+                     ('g', 'graph', 'links', 'entity'))
+            SELECT h.chunk_id, t.conv_id, t.subj, t.pred, t.obj
+            FROM trips t
+            JOIN links h ON h.name_norm = t.subj
+            JOIN links o ON o.name_norm = t.obj AND o.chunk_id = h.chunk_id""",
         "d10_merge": _GC + """,
             all_nodes AS (
               SELECT entity_id, name, entity_type, confidence,
