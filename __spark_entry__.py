@@ -878,6 +878,57 @@ def q_v_topk(spark, sf_dir):
     return out.select("vec_id", F.round("score", 3).alias("score"))
 
 
+def q_v5_filtered(spark, sf_dir):
+    """V5 filtered vector search (json_storage.py:716-748): the metadata
+    filter restricts the candidate set BEFORE scoring (pushed to the scan),
+    then plain top-k."""
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("query_vec"))
+    out = V.topk_similar(emb.where(F.col("vec_id") % 3 == 0), q, k=7, threshold=-1.0)
+    return out.select("vec_id", F.round("score", 3).alias("score"))
+
+
+def q_v7_recommend(spark, sf_dir):
+    """V7 entity recommendation: nearest neighbors of a seed item with the
+    seed itself excluded (knowledge_retriever entity-recommend path)."""
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") == 5).select(F.col("embedding").alias("query_vec"))
+    out = V.topk_similar(emb.where(F.col("vec_id") != 5), q, k=10, threshold=-1.0)
+    return out.select("vec_id", F.round("score", 3).alias("score"))
+
+
+def q_d3_alias(spark, sf_dir):
+    """D3 alias-dictionary blocking (broadcast dict join, FIXTURES.md §2):
+    nation/region nodes hit a literal alias dictionary on
+    (name_norm, entity_type)."""
+    from agraph_spark.operators.linking import alias_link
+
+    nodes, _ = _g(spark, sf_dir)
+    nodes = nodes.withColumn("name_norm", F.lower("name"))
+    alias_dict = spark.createDataFrame(
+        [("NATION_3", "Nation Three", "nation"),
+         ("NATION_7", "Nation Seven", "nation"),
+         ("NATION_12", "Nation Twelve", "nation"),
+         ("ASIA", "Asia-Pacific", "region"),
+         ("EUROPE", "Old World", "region"),
+         ("NATION_3", "Wrong Type", "supplier")],  # type mismatch: no hit
+        "alias string, canonical_name string, entity_type string")
+    return alias_link(nodes, alias_dict)
+
+
+def q_f5_setunion(spark, sf_dir):
+    """F5 set-union semantics via the bounded two-phase salted collect_set
+    (salting.py): distinct order statuses per priority, rendered as a
+    sorted joined string so the set compare is value-exact."""
+    from agraph_spark.operators.salting import salted_collect_set
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    sets = salted_collect_set(o, "o_orderpriority", "o_orderstatus", "o_orderkey")
+    return sets.select(
+        "o_orderpriority",
+        F.concat_ws(",", F.array_sort("values")).alias("statuses"))
+
+
 def q_kg_chunks_hier(spark, sf_dir):
     """C1 separator-hierarchy chunker over documents (non-SQL: the
     recursive separator walk is a mapInPandas kernel; its correctness gate
@@ -1139,6 +1190,10 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "d10_merge": q_d10_merge,
         "g3_links": q_g3_links,
         "g3_rel_links": q_g3_rel_links,
+        "v5_filtered": q_v5_filtered,
+        "v7_recommend": q_v7_recommend,
+        "d3_alias": q_d3_alias,
+        "f5_setunion": q_f5_setunion,
         "v_hybrid": q_v_hybrid,
         "v10_chat_ctx": q_v10_chat_ctx,
         "v_topk": q_v_topk,
@@ -1337,6 +1392,18 @@ def oracle_sql() -> dict[str, str]:
             FROM trips t
             JOIN links h ON h.name_norm = t.subj
             JOIN links o ON o.name_norm = t.obj AND o.chunk_id = h.chunk_id""",
+        "d3_alias": _GC + """,
+            ad(alias, canonical_name, entity_type) AS (
+              VALUES ('NATION_3', 'Nation Three', 'nation'),
+                     ('NATION_7', 'Nation Seven', 'nation'),
+                     ('NATION_12', 'Nation Twelve', 'nation'),
+                     ('ASIA', 'Asia-Pacific', 'region'),
+                     ('EUROPE', 'Old World', 'region'),
+                     ('NATION_3', 'Wrong Type', 'supplier'))
+            SELECT n.entity_id, lower(a.canonical_name) AS canonical_name
+            FROM nodes n
+            JOIN ad a ON lower(n.name) = lower(a.alias)
+                     AND n.entity_type = a.entity_type""",
         "d10_merge": _GC + """,
             all_nodes AS (
               SELECT entity_id, name, entity_type, confidence,
@@ -2073,6 +2140,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, round(score, 3)::DOUBLE AS score
             FROM scored ORDER BY score DESC, vec_id ASC LIMIT 15""",
+        "v5_filtered": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+            scored AS (
+              SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], qv) AS score
+              FROM embeddings, q WHERE vec_id % 3 = 0
+            )
+            SELECT vec_id, round(score, 3)::DOUBLE AS score
+            FROM scored ORDER BY score DESC, vec_id ASC LIMIT 7""",
+        "v7_recommend": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 5),
+            scored AS (
+              SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], qv) AS score
+              FROM embeddings, q WHERE vec_id <> 5
+            )
+            SELECT vec_id, round(score, 3)::DOUBLE AS score
+            FROM scored ORDER BY score DESC, vec_id ASC LIMIT 10""",
+        "f5_setunion": """
+            SELECT o_orderpriority,
+                   array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
+                     AS statuses
+            FROM orders GROUP BY o_orderpriority""",
         "tpch_seg_month": """
             SELECT c_mktsegment, month(o_orderdate)::INT AS order_month,
                    count(*)::BIGINT AS n_orders,
