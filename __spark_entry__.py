@@ -878,6 +878,36 @@ def q_v_topk(spark, sf_dir):
     return out.select("vec_id", F.round("score", 3).alias("score"))
 
 
+def q_e4_model(spark, sf_dir):
+    """E4 batched-LLM entity slot, oracle-verified end-to-end with the
+    deterministic stub model (multi-word capitalized spans, suffix typing):
+    mapInPandas inference -> from_json -> explode -> type normalization ->
+    md5 content ids, all hash-matched. Documents are lowercase, so two
+    deterministic replaces plant the capitalized spans."""
+    from agraph_spark.operators.model_extract import extract_entities_model
+
+    d = _docs(spark, sf_dir)
+    caps = d.select("conv_id", F.replace(
+        F.replace(F.col("text"), F.lit("table"), F.lit("Alice Johnson")),
+        F.lit("spark"), F.lit("Acme Corp")).alias("text"))
+    out = extract_entities_model(caps)
+    return out.select("conv_id", "name", "name_norm", "entity_type", "entity_id")
+
+
+def q_e8_model(spark, sf_dir):
+    """E8 batched-LLM relation slot with the stub model ('X works for Y'
+    shapes, EMPLOYED_BY -> works_for normalization, md5 triple ids)."""
+    from agraph_spark.operators.model_extract import extract_relations_model
+
+    d = _docs(spark, sf_dir)
+    t = d.select("conv_id", F.replace(
+        F.col("text"), F.lit("table"),
+        F.lit("Bob Smith works for Initech Corp")).alias("text"))
+    out = extract_relations_model(t)
+    return out.select("conv_id", "subj", "pred", "obj",
+                      F.round("conf", 3).alias("conf"), "relation_id")
+
+
 def q_v5_filtered(spark, sf_dir):
     """V5 filtered vector search (json_storage.py:716-748): the metadata
     filter restricts the candidate set BEFORE scoring (pushed to the scan),
@@ -1194,6 +1224,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "v7_recommend": q_v7_recommend,
         "d3_alias": q_d3_alias,
         "f5_setunion": q_f5_setunion,
+        "e4_model": q_e4_model,
+        "e8_model": q_e8_model,
         "v_hybrid": q_v_hybrid,
         "v10_chat_ctx": q_v10_chat_ctx,
         "v_topk": q_v_topk,
@@ -2161,6 +2193,49 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
                      AS statuses
             FROM orders GROUP BY o_orderpriority""",
+        "e4_model": r"""
+            WITH caps AS (
+              SELECT doc_id::VARCHAR AS conv_id,
+                     replace(replace(text, 'table', 'Alice Johnson'),
+                             'spark', 'Acme Corp') AS text
+              FROM documents),
+            raw AS (
+              SELECT conv_id,
+                     unnest(regexp_extract_all(
+                       text, '\b[A-Z][a-z]+(?: [A-Z][a-z]+)+\b')) AS name
+              FROM caps),
+            names AS (SELECT DISTINCT conv_id, name FROM raw)
+            SELECT conv_id, name, lower(name) AS name_norm,
+                   CASE WHEN name LIKE '%Corp' OR name LIKE '%Inc'
+                         OR name LIKE '%Ltd' OR name LIKE '%Company'
+                         OR name LIKE '%Organization'
+                        THEN 'organization' ELSE 'person' END AS entity_type,
+                   'entity_' || substring(md5(name), 1, 8) AS entity_id
+            FROM names""",
+        "e8_model": r"""
+            WITH caps AS (
+              SELECT doc_id::VARCHAR AS conv_id,
+                     replace(text, 'table',
+                             'Bob Smith works for Initech Corp') AS text
+              FROM documents),
+            m AS (
+              SELECT conv_id,
+                     regexp_extract_all(text,
+                       '([A-Z][a-z]+ [A-Z][a-z]+) works for ([A-Z][\w ]*?(?:Corp|Inc|Ltd))',
+                       1) AS hs,
+                     regexp_extract_all(text,
+                       '([A-Z][a-z]+ [A-Z][a-z]+) works for ([A-Z][\w ]*?(?:Corp|Inc|Ltd))',
+                       2) AS ts
+              FROM caps),
+            pairs AS (SELECT conv_id, unnest(hs) AS h, unnest(ts) AS t FROM m),
+            rels AS (
+              SELECT DISTINCT conv_id, lower(h) AS subj,
+                     'works_for' AS pred, lower(t) AS obj
+              FROM pairs WHERE lower(h) <> lower(t))
+            SELECT conv_id, subj, pred, obj, 0.9::DOUBLE AS conf,
+                   'relation_' || substring(
+                     md5(subj || '_' || pred || '_' || obj), 1, 8) AS relation_id
+            FROM rels""",
         "tpch_seg_month": """
             SELECT c_mktsegment, month(o_orderdate)::INT AS order_month,
                    count(*)::BIGINT AS n_orders,
