@@ -908,6 +908,47 @@ def q_e8_model(spark, sf_dir):
                       F.round("conf", 3).alias("conf"), "relation_id")
 
 
+def q_d4_verify(spark, sf_dir):
+    """D4 batched duplicate verification: planted pair families (exact /
+    containing / dissimilar) flow through the reference name-similarity
+    column and the one-model-call-per-Arrow-batch kernel; verdicts
+    hash-matched with the deterministic stub."""
+    from agraph_spark.operators.linking import (
+        name_similarity_col, verify_pairs_batched)
+
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_name").alias("name_a"))
+    pairs = (
+        s.select("name_a", F.col("name_a").alias("name_b"))
+        .unionByName(s.select(
+            "name_a", F.concat(F.col("name_a"), F.lit("_v2")).alias("name_b")))
+        .unionByName(s.select(
+            "name_a", F.reverse(F.col("name_a")).alias("name_b")))
+    ).withColumn("name_sim", name_similarity_col())
+    out = verify_pairs_batched(pairs)
+    return out.select("name_a", "name_b",
+                      F.round("name_sim", 3).alias("name_sim"), "is_duplicate")
+
+
+def q_f3_chunks(spark, sf_dir):
+    """F3 chunk queries (json_storage.py:490-688): type filter + entity-
+    membership semi-join over documents-as-chunks."""
+    from agraph_spark.operators.graph_queries import query_chunks
+
+    d = _docs(spark, sf_dir)
+    chunks = d.select(
+        F.col("conv_id").alias("chunk_id"),
+        F.when(F.col("doc_id") % 2 == 0, "paragraph").otherwise("code")
+         .alias("chunk_type"),
+        "text")
+    links = d.select(F.col("conv_id").alias("chunk_id"),
+                     F.lit("spark").alias("name_norm")).where(
+        F.instr(F.lower("text"), "spark") > 0)
+    out = query_chunks(chunks, chunk_type="paragraph",
+                       contains_entity="spark", entity_links=links)
+    return out.select("chunk_id", "chunk_type")
+
+
 def q_v5_filtered(spark, sf_dir):
     """V5 filtered vector search (json_storage.py:716-748): the metadata
     filter restricts the candidate set BEFORE scoring (pushed to the scan),
@@ -1226,6 +1267,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "f5_setunion": q_f5_setunion,
         "e4_model": q_e4_model,
         "e8_model": q_e8_model,
+        "d4_verify": q_d4_verify,
+        "f3_chunks": q_f3_chunks,
         "v_hybrid": q_v_hybrid,
         "v10_chat_ctx": q_v10_chat_ctx,
         "v_topk": q_v_topk,
@@ -2236,6 +2279,29 @@ def oracle_sql() -> dict[str, str]:
                    'relation_' || substring(
                      md5(subj || '_' || pred || '_' || obj), 1, 8) AS relation_id
             FROM rels""",
+        "d4_verify": """
+            WITH pairs AS (
+              SELECT s_name AS name_a, s_name AS name_b FROM supplier
+              UNION ALL
+              SELECT s_name, s_name || '_v2' FROM supplier
+              UNION ALL
+              SELECT s_name, reverse(s_name) FROM supplier),
+            simed AS (
+              SELECT name_a, name_b,
+                     CASE WHEN name_a = name_b THEN 1.0
+                          WHEN instr(name_a, name_b) > 0
+                            OR instr(name_b, name_a) > 0 THEN 0.8
+                          ELSE 1.0 - levenshtein(name_a, name_b)::DOUBLE
+                               / greatest(length(name_a), length(name_b))
+                     END AS sim
+              FROM pairs)
+            SELECT name_a, name_b, round(sim, 3)::DOUBLE AS name_sim,
+                   (sim >= 0.8 OR name_a = name_b) AS is_duplicate
+            FROM simed""",
+        "f3_chunks": """
+            SELECT doc_id::VARCHAR AS chunk_id, 'paragraph' AS chunk_type
+            FROM documents
+            WHERE doc_id % 2 = 0 AND instr(lower(text), 'spark') > 0""",
         "tpch_seg_month": """
             SELECT c_mktsegment, month(o_orderdate)::INT AS order_month,
                    count(*)::BIGINT AS n_orders,
