@@ -152,14 +152,14 @@ def pagerank(
     recv is < max_in_degree * 1e9, so BIGINT is safe up to ~9e9 in-edges
     per node — beyond any real graph's hottest node (and the float mode
     has no such bound)."""
-    from ..caching import track
     from .components import lineage_cutter, loop_shuffle_partitions
 
-    deg = edges.groupBy("head_id").agg(F.count("*").alias("outd"))
-    adj = track(
-        edges.select("head_id", "tail_id").join(deg, "head_id")
-    )
     cut = lineage_cutter(edges, checkpoint_dir)
+    deg = edges.groupBy("head_id").agg(F.count("*").alias("outd"))
+    # lineage-cut, not persisted: joined against every iteration; an
+    # RDD-leaf adjacency keeps each round's analyzed plan shallow
+    # (measured on CC/cycles — PLANS.md round 3)
+    adj = cut(edges.select("head_id", "tail_id").join(deg, "head_id"), eager=False)
     n_adj = adj.count()
     if fixed_point:
         d_num = int(round(damping * 100))

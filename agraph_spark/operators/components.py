@@ -76,22 +76,24 @@ def connected_components(
     (llm_builders.py:519-531) and DFS components
     (graph_analyzer.py:173-204).
     """
-    from ..caching import track
-
-    # persisted: every round joins against sym — without the cache each
-    # iteration would replay the union+distinct shuffles from the raw edges
-    sym = track(
+    cut = lineage_cutter(edges, checkpoint_dir)
+    # lineage-cut, not persisted: every round joins against sym, and a
+    # persisted sym leaves its full logical subtree in every round's
+    # analyzed plan (cache substitution happens at physical planning) —
+    # measured 5.5 -> 3.6 s warm at sf0.1 switching to an RDD-leaf cut,
+    # same lesson as bounded_cycles (PLANS.md round 3)
+    sym = cut(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .where(F.col("a").isNotNull() & F.col("b").isNotNull())
-        .distinct()
+        .distinct(),
+        eager=False,
     )
     ids = sym.select(F.col("a").alias("entity_id")).distinct()
     if nodes is not None:
         ids = ids.unionByName(nodes.select("entity_id")).distinct()
-    cut = lineage_cutter(edges, checkpoint_dir)
     spark = edges.sparkSession
-    n_sym = sym.count()  # materializes the persisted adjacency; sizes the loop
+    n_sym = sym.count()  # materializes the lazy cut; sizes the loop
     with loop_shuffle_partitions(spark, n_sym):
         labels = _cc_loop(sym, ids, cut, max_iter)
     return labels
@@ -161,19 +163,20 @@ def bfs_distances(
     (graph_path_finder.py:44-103). Frontier-expansion joins with a visited
     anti-join; at most max_depth iterations."""
     spark = edges.sparkSession
-    from ..caching import track
+    cut = lineage_cutter(edges, checkpoint_dir)
 
     adj = edges.select(F.col("head_id").alias("src"), F.col("tail_id").alias("dst"))
     if undirected:
         adj = adj.unionByName(
             edges.select(F.col("tail_id").alias("src"), F.col("head_id").alias("dst"))
         )
-    # persisted: joined against once per BFS depth
-    adj = track(adj.distinct())
-    cut = lineage_cutter(edges, checkpoint_dir)
+    # lineage-cut, not persisted: joined against once per depth, and an
+    # RDD-leaf adjacency keeps every depth's analyzed plan shallow (see
+    # connected_components / bounded_cycles)
+    adj = cut(adj.distinct(), eager=False)
     visited = spark.createDataFrame([(start_id, 0)], "entity_id string, dist int")
     frontier = visited
-    n_adj = adj.count()  # materializes the persisted adjacency; sizes the loop
+    n_adj = adj.count()  # materializes the lazy cut; sizes the loop
     with loop_shuffle_partitions(spark, n_adj):
         for d in range(1, max_depth + 1):
             nxt = (
