@@ -415,3 +415,34 @@ def test_corrupt_file_quarantine(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(Exception):
         read_documents(spark, str(d / "*.docx"), skip_corrupt=False).collect()
+
+
+def test_parser_fuzz_no_hang_or_weird_errors():
+    """Arbitrary bytes must never hang the extraction kernels: _pdf_to_text
+    returns a str or raises cleanly; _docx_to_text raises zip/xml errors
+    the quarantine path captures. (Hypothesis, driver-side only.)"""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from agraph_spark.io import _docx_to_text, _pdf_to_text
+
+    @settings(max_examples=200, deadline=1000)
+    @given(st.binary(max_size=4096))
+    def fuzz(raw):
+        try:
+            out = _pdf_to_text(raw)
+            assert isinstance(out, str)
+        except Exception as e:
+            assert isinstance(e, (ValueError, UnicodeDecodeError)), e
+        try:
+            out = _docx_to_text(raw)
+            assert isinstance(out, str)
+        except Exception:
+            pass  # BadZipFile / KeyError / ParseError — quarantined upstream
+
+    fuzz()
+
+    # seeded structured-ish inputs: stream markers without valid deflate
+    for raw in [b"<< /Filter /FlateDecode >> stream\nnotzlib\nendstream",
+                b"BT (unterminated", b"%PDF-1.4\n" + b"\x00" * 100]:
+        assert isinstance(_pdf_to_text(raw), str)
