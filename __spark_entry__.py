@@ -949,6 +949,33 @@ def q_f3_chunks(spark, sf_dir):
     return out.select("chunk_id", "chunk_type")
 
 
+def q_d7_chain(spark, sf_dir):
+    """D7 auto-merge loop (D3 blocking -> D4 batched verification -> D5
+    connected-components canonicalization) end-to-end. Node names are md5
+    hex (mutually distant, so the LSH leg deterministically contributes no
+    pair above either similarity gate); the alias dictionary supplies the
+    confirmed pairs, making the full chain's (entity_id, canonical_id)
+    mapping SQL-twinnable: min entity_id per alias-target component."""
+    from agraph_spark.operators.linking import link_entities
+
+    d = _docs(spark, sf_dir)
+    key = F.col("doc_id").cast("string")
+    nodes = d.select(
+        F.concat(F.lit("e"), key).alias("entity_id"),
+        F.md5(key).alias("name"),
+        F.md5(key).alias("name_norm"),
+        F.lit("t").alias("entity_type"),
+        F.lit(0.8).alias("confidence"),
+        F.lit(None).cast("array<string>").alias("aliases"),
+        F.lit(1).cast("long").alias("n_mentions"))
+    alias_dict = d.where(F.col("doc_id") % 4 == 0).select(
+        F.md5(key).alias("alias"),
+        F.concat(F.lit("g"), (F.col("doc_id") % 40).cast("string"))
+         .alias("canonical_name"),
+        F.lit("t").alias("entity_type"))
+    return link_entities(nodes, alias_dict=alias_dict)
+
+
 def q_v5_filtered(spark, sf_dir):
     """V5 filtered vector search (json_storage.py:716-748): the metadata
     filter restricts the candidate set BEFORE scoring (pushed to the scan),
@@ -1269,6 +1296,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "e8_model": q_e8_model,
         "d4_verify": q_d4_verify,
         "f3_chunks": q_f3_chunks,
+        "d7_chain": q_d7_chain,
         "v_hybrid": q_v_hybrid,
         "v10_chat_ctx": q_v10_chat_ctx,
         "v_topk": q_v_topk,
@@ -2302,6 +2330,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id::VARCHAR AS chunk_id, 'paragraph' AS chunk_type
             FROM documents
             WHERE doc_id % 2 = 0 AND instr(lower(text), 'spark') > 0""",
+        "d7_chain": """
+            WITH grp AS (
+              SELECT 'e' || doc_id::VARCHAR AS entity_id,
+                     'g' || (doc_id % 40)::VARCHAR AS g
+              FROM documents WHERE doc_id % 4 = 0),
+            m AS (SELECT g, min(entity_id) AS canonical_id FROM grp GROUP BY g)
+            SELECT grp.entity_id, m.canonical_id
+            FROM grp JOIN m USING (g)
+            WHERE grp.entity_id <> m.canonical_id""",
         "tpch_seg_month": """
             SELECT c_mktsegment, month(o_orderdate)::INT AS order_month,
                    count(*)::BIGINT AS n_orders,
