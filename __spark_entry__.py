@@ -1224,57 +1224,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: _fresh(v) for k, v in _RAW_QUERIES.items()}
 
 
+# Ordering note (round 4): the driver's correctness gate samples the FIRST 50
+# entries of this dict. Rounds 1-3 certified the original first-50 window
+# (CORRECTNESS_r01..r03.json); the 39 queries the driver had never seen
+# (d9_upsert .. tpch_topk_orders in round-3 order) are moved to the front so
+# CORRECTNESS_r04.json certifies them, followed by new round-4 queries, then a
+# handful of flagship re-certifications, then the remaining round-3-certified
+# set (all still covered by the full local replica, tools/check_oracle.py).
 _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        "g_degree": q_g_degree,
-        "g_degree_summary": q_g_degree_summary,
-        "g_type_dist": q_g_type_dist,
-        "g_rel_type_dist": q_g_rel_type_dist,
-        "g_isolated": q_g_isolated,
-        "g_density": q_g_density,
-        "g_importance": q_g_importance,
-        "g_top_central": q_g_top_central,
-        "g_transitive": q_g_transitive,
-        "g_symmetric": q_g_symmetric,
-        "g_reverse": q_g_reverse,
-        "g_dangling": q_g_dangling,
-        "g_dup_sig": q_g_dup_sig,
-        "g_self_loops": q_g_self_loops,
-        "g_referential": q_g_referential,
-        "g_components": q_g_components,
-        "g_component_sizes": q_g_component_sizes,
-        "g_bfs": q_g_bfs,
-        "g_khop": q_g_khop,
-        "g_cycles": q_g_cycles,
-        "g_stats": q_g_stats,
-        "kg_keywords": q_kg_keywords,
-        "kg_confidence": q_kg_confidence,
-        "kg_sentences": q_kg_sentences,
-        "kg_cooccur": q_kg_cooccur,
-        "kg_triples_docs": q_kg_triples_docs,
-        "kg_entities_docs": q_kg_entities_docs,
-        "txt_tokens": q_txt_tokens,
-        "txt_quality": q_txt_quality,
-        "txt_langid": q_txt_langid,
-        "txt_fingerprint": q_txt_fingerprint,
-        "dd_exact": q_dd_exact,
-        "dd_exact_dup": q_dd_exact_dup,
-        "ev_window": q_ev_window,
-        "tpch_join3": q_tpch_join3,
-        "dd_ngram_jaccard": q_dd_ngram_jaccard,
-        "dd_minhash": q_dd_minhash,
-        "dd_minhash_md5": q_dd_minhash_md5,
-        "dd_simhash_md5": q_dd_simhash_md5,
-        "dd_simhash": q_dd_simhash,
-        "v_cosine": q_v_cosine,
-        "v_ann_lsh": q_v_ann_lsh,
-        "v_label_pairs": q_v_label_pairs,
-        "ev_sessionize": q_ev_sessionize,
-        "ev_reassemble": q_ev_reassemble,
-        "kg_chunks": q_kg_chunks,
-        "kg_search_multi": q_kg_search_multi,
-        "kg_search_multi_md5": q_kg_search_multi_md5,
-        "v11_search_modes": q_v11_search_modes,
-        "f1_entity_filter": q_f1_entity_filter,
+        # --- driver-uncertified until r4 (positions 51-89 in round 3) ---
         "d9_upsert": q_d9_upsert,
         "db_schema": q_db_schema,
         "a14_chunk_sim": q_a14_chunk_sim,
@@ -1314,6 +1272,59 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "tpch_q1": q_tpch_q1,
         "tpch_seg_month": q_tpch_seg_month,
         "tpch_topk_orders": q_tpch_topk_orders,
+        # --- round-4 additions go here (inside the 50-slot window) ---
+        # --- flagship re-certifications filling the window to 50 ---
+        "g_components": q_g_components,
+        "g_cycles": q_g_cycles,
+        "g_bfs": q_g_bfs,
+        "dd_minhash_md5": q_dd_minhash_md5,
+        "kg_chunks": q_kg_chunks,
+        "v11_search_modes": q_v11_search_modes,
+        "g_degree": q_g_degree,
+        "g_stats": q_g_stats,
+        "kg_cooccur": q_kg_cooccur,
+        "dd_exact": q_dd_exact,
+        "v_cosine": q_v_cosine,
+        # --- round-3-certified remainder (past the driver window; local gate) ---
+        "g_degree_summary": q_g_degree_summary,
+        "g_type_dist": q_g_type_dist,
+        "g_rel_type_dist": q_g_rel_type_dist,
+        "g_isolated": q_g_isolated,
+        "g_density": q_g_density,
+        "g_importance": q_g_importance,
+        "g_top_central": q_g_top_central,
+        "g_transitive": q_g_transitive,
+        "g_symmetric": q_g_symmetric,
+        "g_reverse": q_g_reverse,
+        "g_dangling": q_g_dangling,
+        "g_dup_sig": q_g_dup_sig,
+        "g_self_loops": q_g_self_loops,
+        "g_referential": q_g_referential,
+        "g_component_sizes": q_g_component_sizes,
+        "g_khop": q_g_khop,
+        "kg_keywords": q_kg_keywords,
+        "kg_confidence": q_kg_confidence,
+        "kg_sentences": q_kg_sentences,
+        "kg_triples_docs": q_kg_triples_docs,
+        "kg_entities_docs": q_kg_entities_docs,
+        "txt_tokens": q_txt_tokens,
+        "txt_quality": q_txt_quality,
+        "txt_langid": q_txt_langid,
+        "txt_fingerprint": q_txt_fingerprint,
+        "dd_exact_dup": q_dd_exact_dup,
+        "ev_window": q_ev_window,
+        "tpch_join3": q_tpch_join3,
+        "dd_ngram_jaccard": q_dd_ngram_jaccard,
+        "dd_minhash": q_dd_minhash,
+        "dd_simhash_md5": q_dd_simhash_md5,
+        "dd_simhash": q_dd_simhash,
+        "v_ann_lsh": q_v_ann_lsh,
+        "v_label_pairs": q_v_label_pairs,
+        "ev_sessionize": q_ev_sessionize,
+        "ev_reassemble": q_ev_reassemble,
+        "kg_search_multi": q_kg_search_multi,
+        "kg_search_multi_md5": q_kg_search_multi_md5,
+        "f1_entity_filter": q_f1_entity_filter,
 }
 
 
@@ -1678,11 +1689,19 @@ def oracle_sql() -> dict[str, str]:
                      generate_subscripts(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+'), 1) AS i
               FROM documents
             ),
-            sh AS (
+            sh3 AS (
               SELECT DISTINCT doc,
                      w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle
               FROM toks WINDOW win AS (PARTITION BY doc ORDER BY i)
               QUALIFY lead(w, 2) OVER win IS NOT NULL
+            ),
+            sh AS (
+              -- short-doc fallback mirrors word_shingles: docs with <3 tokens
+              -- emit ONE whole-text shingle (possibly '') instead of none
+              SELECT * FROM sh3
+              UNION ALL
+              SELECT doc, string_agg(w, ' ' ORDER BY i) AS shingle
+              FROM toks GROUP BY doc HAVING count(*) < 3
             ),
             sizes AS (SELECT doc, count(*)::BIGINT AS sz FROM sh GROUP BY doc),
             hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 200),
@@ -1705,11 +1724,18 @@ def oracle_sql() -> dict[str, str]:
                      generate_subscripts(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+'), 1) AS i
               FROM documents
             ),
-            sh AS (
+            sh3 AS (
               SELECT DISTINCT doc,
                      w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle
               FROM toks WINDOW win AS (PARTITION BY doc ORDER BY i)
               QUALIFY lead(w, 2) OVER win IS NOT NULL
+            ),
+            sh AS (
+              -- short-doc fallback mirrors word_shingles (one whole-text shingle)
+              SELECT * FROM sh3
+              UNION ALL
+              SELECT doc, string_agg(w, ' ' ORDER BY i) AS shingle
+              FROM toks GROUP BY doc HAVING count(*) < 3
             ),
             hashed AS (
               SELECT doc, seed,

@@ -18,6 +18,7 @@
 from __future__ import annotations
 
 import json
+import logging
 import os
 import xml.sax.saxutils as sx
 
@@ -211,6 +212,7 @@ def read_documents(
     path: str,
     skip_corrupt: bool = True,
     with_errors: bool = False,
+    log_quarantined: bool = True,
 ) -> DataFrame:
     """S2: extension-dispatched document reader -> (conv_id, text).
 
@@ -224,7 +226,11 @@ def read_documents(
     For the binary formats, ``skip_corrupt`` (default) quarantines files
     the parser rejects as text=NULL rows instead of aborting the scan;
     ``with_errors=True`` keeps the per-file ``parse_error`` column for
-    auditing the rejects."""
+    auditing the rejects. When the column is dropped, ``log_quarantined``
+    (default) runs a driver-side count of rejects and WARNs if any exist,
+    so corrupt inputs never vanish silently (the count re-runs the parse
+    kernel once — at very large scale pass ``with_errors=True`` and audit
+    inline instead, or disable the flag)."""
     ext = os.path.splitext(path)[1].lower()
     binary_parsers = {**{e: _html_to_text for e in HTML_EXTS},
                       **{e: _xlsx_to_text for e in XLSX_EXTS},
@@ -234,7 +240,17 @@ def read_documents(
         out = _read_binary_documents(
             spark, path, binary_parsers[ext], skip_corrupt=skip_corrupt
         )
-        return out if with_errors else out.drop("parse_error")
+        if with_errors:
+            return out
+        if skip_corrupt and log_quarantined:
+            n_bad = out.agg(F.count("parse_error")).first()[0]
+            if n_bad:
+                logging.getLogger(__name__).warning(
+                    "read_documents(%s): quarantined %d corrupt file(s) as "
+                    "text=NULL rows; re-read with with_errors=True to audit",
+                    path, n_bad,
+                )
+        return out.drop("parse_error")
     if ext in STUB_EXTS:
         raise NotImplementedError(
             f"{STUB_EXTS[ext]} extraction requires codec libraries not present "

@@ -282,10 +282,17 @@ def _grouped_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     (same (turn_idx, ts, text) struct order as reassemble_conversations'
     array_sort) followed by the extraction batch — raw turns reach Python
     once and the per-document intermediates never exist JVM-side."""
-    pdf = pdf.sort_values(["conv_id", "turn_idx", "ts", "text"], kind="stable")
+    # Null semantics must match reassemble_conversations exactly:
+    # array_sort compares struct fields NULLS FIRST (pandas default is
+    # NaN-last), and concat_ws SKIPS null elements (no separator emitted),
+    # so null-text turns contribute nothing — dropna, never fillna("").
+    # Spark's groupBy also keeps a null conv_id group (dropna=False).
+    pdf = pdf.sort_values(
+        ["conv_id", "turn_idx", "ts", "text"], kind="stable", na_position="first"
+    )
     docs = (
-        pdf.groupby("conv_id", sort=False)["text"]
-        .agg(lambda s: "\n".join(s.fillna("")))
+        pdf.groupby("conv_id", sort=False, dropna=False)["text"]
+        .agg(lambda s: "\n".join(s.dropna()))
         .reset_index()
     )
     out = next(iter(_doc_extract_kernel(iter([docs]))), None)

@@ -32,6 +32,19 @@ from ..pipeline import build_kg
 from ..schemas import TRANSCRIPTS
 
 
+def _store_exists(spark: SparkSession, store_dir: str) -> bool:
+    """Store-existence via the Hadoop FileSystem API so HDFS/S3 paths work
+    (os.path.exists only sees the driver-local filesystem); falls back to
+    os.path for sessions without a JVM (e.g. Spark Connect)."""
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(store_dir)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(hpath))
+    except Exception:
+        return os.path.exists(store_dir)
+
+
 def process_microbatch(batch_df: DataFrame, batch_id: int, out_dir: str) -> None:
     """foreachBatch body: run the batch pipeline on the micro-batch and
     append triples with lineage = micro-batch id."""
@@ -66,12 +79,20 @@ def merge_triples_into_store(
     bucket = F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
     new = new_triples.withColumn("bucket", bucket)
     merged = new
-    if os.path.exists(store_dir):
+    if _store_exists(spark, store_dir):
         affected = [r.bucket for r in new.select("bucket").distinct().collect()]
         cur = spark.read.parquet(store_dir).where(F.col("bucket").isin(affected))
         merged = cur.unionByName(new.where(F.col("bucket").isin(affected)))
+    # first-seen lineage = smallest NUMERIC batch id, not lexicographic min
+    # ('stream_batch=10' < 'stream_batch=2' as strings); non-numeric lineage
+    # tags sort after every numbered batch.
+    lineage_ord = F.coalesce(
+        F.regexp_extract("lineage", r"(\d+)\s*$", 1).cast("long"),
+        F.lit(2**62),
+    )
     merged = merged.groupBy("conv_id", "subj", "pred", "obj", "bucket").agg(
-        F.max("conf").alias("conf"), F.min("lineage").alias("lineage")
+        F.max("conf").alias("conf"),
+        F.min_by("lineage", lineage_ord).alias("lineage"),
     )
     # sever lineage from the store files before overwriting them (parquet
     # has no transactional swap; Iceberg MERGE INTO makes this atomic)

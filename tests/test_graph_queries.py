@@ -81,6 +81,33 @@ def test_all_paths_bounded(spark):
     assert paths == {("a", "c"), ("a", "b", "c")}
 
 
+def test_all_paths_hub_skew_completes_bounded(spark):
+    """VERDICT r3 #2: a hub with 10k in/out edges one hop from the start
+    must not explode the frontier — the per-pivot cap bounds each
+    extension to cap×D, so the run completes (and still finds the paths
+    that route through the hub under the cap)."""
+    hub_in = [("a", "hub")] + [(f"s{i}", "hub") for i in range(10_000)]
+    hub_out = [("hub", f"t{i}") for i in range(10_000)] + [("hub", "z")]
+    edges = spark.createDataFrame(
+        hub_in + hub_out, "head_id string, tail_id string"
+    )
+    got = {tuple(r.path) for r in
+           all_paths(edges, "a", "z", max_depth=3,
+                     max_paths_per_pivot=50, log_dropped=False).collect()}
+    assert got == {("a", "hub", "z")}
+
+    # capping drops paths only ABOVE the cap: with 3 distinct start->hub
+    # paths and cap 2, exactly 2 survive
+    tri = spark.createDataFrame(
+        [("a", "m1"), ("a", "m2"), ("a", "m3"),
+         ("m1", "hub"), ("m2", "hub"), ("m3", "hub"), ("hub", "z")],
+        "head_id string, tail_id string")
+    got = {tuple(r.path) for r in
+           all_paths(tri, "a", "z", max_depth=3,
+                     max_paths_per_pivot=2, log_dropped=False).collect()}
+    assert len(got) == 2 and all(p[0] == "a" and p[-1] == "z" for p in got)
+
+
 def test_chunk_similarity(spark):
     links = spark.createDataFrame(
         [("c1", ["e1", "e2"], ["r1"]), ("c2", ["e2", "e3"], ["r1", "r2"]), ("c3", ["e9"], [])],

@@ -65,6 +65,43 @@ def test_partition_invariance(spark):
     assert t2 == t16 and len(t2) > 0
 
 
+def test_grouped_null_turn_parity(spark):
+    """ADVICE r3: the grouped kernel must match reassemble_conversations on
+    NULLABLE turns — concat_ws SKIPS null texts (no separator emitted) and
+    array_sort orders null struct fields FIRST (pandas default is NaN-last).
+    c1 exercises the null-text skip, c2 the null-ts NULLS FIRST tiebreak."""
+    import datetime as dt
+
+    from agraph_spark.operators.fused import extract_documents_fused_grouped
+    from agraph_spark.operators.reassemble import reassemble_conversations
+    from agraph_spark.schemas import TRANSCRIPTS
+
+    t0 = dt.datetime(2020, 1, 1)
+    rows = [
+        ("c1", 0, "user", "Alice works at Acme.", None, t0),
+        ("c1", 1, "assistant", None, None, t0),
+        ("c1", 2, "user", "Bob lives in Paris.", None, t0),
+        ("c2", 0, "user", "late-null-ts sorts first", None, None),
+        ("c2", 0, "assistant", "early-real-ts sorts second", None, t0),
+        ("c3", 0, "user", None, None, None),
+    ]
+    tdf = spark.createDataFrame(rows, TRANSCRIPTS).repartition(4)
+
+    want = {r.conv_id: r.text for r in reassemble_conversations(tdf).collect()}
+    got = {r.conv_id: r.text for r in extract_documents_fused_grouped(tdf).collect()}
+    assert got == want
+    assert want["c1"] == "Alice works at Acme.\nBob lives in Paris."
+    assert want["c2"] == "late-null-ts sorts first\nearly-real-ts sorts second"
+
+    fused = {
+        (r.subj, r.pred, r.obj) for r in build_kg(tdf, mode="fused").triples.collect()
+    }
+    grouped = {
+        (r.subj, r.pred, r.obj) for r in build_kg(tdf, mode="grouped").triples.collect()
+    }
+    assert fused == grouped
+
+
 def test_per_turn_text_equality(spark):
     """input_hint invariant: reassembly preserves each turn's text verbatim
     in stable turn order."""

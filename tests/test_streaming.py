@@ -6,6 +6,8 @@ from __future__ import annotations
 import os
 import tempfile
 
+from pyspark.sql import functions as F
+
 from agraph_spark.pipeline import build_kg
 from agraph_spark.streaming.incremental import start_transcript_stream, streamed_triples
 from agraph_spark.synth import transcripts_df
@@ -129,3 +131,24 @@ def test_merge_stream_equals_batch_and_is_idempotent(spark):
         # store is unique on the content key — MERGE, not append
         assert stored.count() == stored.select(
             "conv_id", "subj", "pred", "obj").distinct().count()
+
+
+def test_merge_lineage_first_seen_numeric(spark):
+    """ADVICE r3: first-seen lineage must order batch ids NUMERICALLY —
+    'stream_batch=10' sorts lexicographically before 'stream_batch=2', so a
+    string min() misattributes first-seen once ids reach double digits."""
+    from agraph_spark.streaming.incremental import merge_triples_into_store
+
+    row = [("c1", "Alice", "works_at", "Acme", 0.9)]
+    schema = "conv_id string, subj string, pred string, obj string, conf double"
+
+    with tempfile.TemporaryDirectory() as d:
+        store = os.path.join(d, "store")
+        for batch_id in (2, 10):
+            new = spark.createDataFrame(row, schema).withColumn(
+                "lineage", F.lit(f"stream_batch={batch_id}")
+            )
+            merge_triples_into_store(spark, new, store, n_buckets=4)
+        got = spark.read.parquet(store).collect()
+        assert len(got) == 1
+        assert got[0].lineage == "stream_batch=2"
