@@ -204,6 +204,25 @@ def q_g_stats(spark, sf_dir):
     return G.basic_statistics(nodes, edges)
 
 
+def q_a13_summary(spark, sf_dir):
+    """A13 summary report as (line_no, line) rows — the formatted string
+    graph_summary() joins, certified line-by-line (VERDICT r3 #5)."""
+    from agraph_spark.operators.graph_queries import graph_summary_lines
+
+    nodes, edges = _g(spark, sf_dir)
+    return graph_summary_lines(nodes, edges)
+
+
+def q_g8_recommendations(spark, sf_dir):
+    """G8 rule-based recommendations as (rec_idx, recommendation) rows —
+    certifies the ratio bands (0.1/10) and issue-existence rules
+    (graph_validator.py:385-423)."""
+    from agraph_spark.operators.graph_queries import recommendations_df
+
+    nodes, edges = _g(spark, sf_dir)
+    return recommendations_df(nodes, edges)
+
+
 # ------------------------------------------------------------- text-KG ops
 
 def q_kg_keywords(spark, sf_dir):
@@ -870,6 +889,35 @@ def q_v10_chat_ctx(spark, sf_dir):
     )
 
 
+def q_v10_chat_ctx_md5(spark, sf_dir):
+    """V10 context assembly, oracle-certified (VERDICT r3 #3): the per-hit
+    table chat_context builds its JSON from — per-namespace DISTINCT k
+    (4/3/6), the score threshold, and the reference's rendered 文本片段
+    line — over md5-stub embeddings DuckDB reproduces bit-for-bit. The
+    JSON wrapper itself stays string-tested (test_retrieval); the xxhash64
+    production path stays rows-only as v10_chat_ctx."""
+    from agraph_spark.operators.retrieval import chat_context_hits
+    from agraph_spark.operators.vectors import embed_md5_stub
+
+    d = _docs(spark, sf_dir)
+    chunks = embed_md5_stub(d.select(F.col("conv_id").alias("chunk_id"),
+                                     F.col("text").alias("render_text")))
+    nodes = embed_md5_stub(
+        d.select(F.concat(F.lit("e"), "conv_id").alias("entity_id"),
+                 F.substring("text", 1, 40).alias("render_text")))
+    edges = embed_md5_stub(
+        d.select(F.concat(F.lit("r"), "conv_id").alias("edge_id"),
+                 F.substring("text", 20, 40).alias("render_text")))
+    q = embed_md5_stub(
+        spark.createDataFrame([("table join query",)], "render_text string")
+    ).select(F.col("embedding").alias("query_vec"))
+    hits = chat_context_hits(nodes, edges, chunks, q, k_entities=4,
+                             k_relations=3, k_chunks=6, threshold=0.05)
+    return hits.select(
+        "namespace", "rk", "item_id", F.round("score", 3).alias("score"), "line"
+    )
+
+
 def q_v_topk(spark, sf_dir):
     """V4 brute-force cosine top-k (the ANN baseline)."""
     emb = _emb(spark, sf_dir)
@@ -1039,6 +1087,26 @@ def q_kg_chunks_hier(spark, sf_dir):
     return ch.groupBy(F.col("conv_id").cast("bigint").alias("doc_id")).agg(
         F.count("*").alias("n_chunks"),
         F.sum(F.length("content")).cast("bigint").alias("content_chars"),
+    )
+
+
+def q_kg_chunks_simple(spark, sf_dir):
+    """C1/C2 SimpleTokenChunker mode (chunker.py:287-360), oracle-certified
+    (VERDICT r3 #4): first-productive-separator greedy packing with the
+    word/0.75 token approximation IS SQL-expressible (a recursive CTE walks
+    the parts per doc), unlike the hierarchical mode's unbounded separator
+    descent (kg_chunks_hier stays parity-gated, see COVERAGE.md)."""
+    from agraph_spark.operators.chunking import token_chunk_documents
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("conv_id"), "text")
+    ch = token_chunk_documents(d, chunk_size=40, overlap=0, mode="simple")
+    return ch.select(
+        F.col("conv_id").cast("bigint").alias("doc_id"),
+        "chunk_idx",
+        F.length("content").cast("bigint").alias("chunk_chars"),
+        F.md5("content").alias("chunk_md5"),
+        "chunk_type",
     )
 
 
@@ -1273,6 +1341,10 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "tpch_seg_month": q_tpch_seg_month,
         "tpch_topk_orders": q_tpch_topk_orders,
         # --- round-4 additions go here (inside the 50-slot window) ---
+        "v10_chat_ctx_md5": q_v10_chat_ctx_md5,
+        "kg_chunks_simple": q_kg_chunks_simple,
+        "a13_summary": q_a13_summary,
+        "g8_recommendations": q_g8_recommendations,
         # --- flagship re-certifications filling the window to 50 ---
         "g_components": q_g_components,
         "g_cycles": q_g_cycles,
@@ -1421,6 +1493,63 @@ def oracle_sql() -> dict[str, str]:
                    ELSE round(e / (n * (n - 1.0)), 9) END::DOUBLE AS density
             FROM (SELECT (SELECT count(*) FROM nodes)::DOUBLE n,
                          (SELECT count(*) FROM edges)::DOUBLE e)""",
+        "a13_summary": _GC + """
+            , stats AS (
+              SELECT (SELECT count(*) FROM nodes)::BIGINT AS n,
+                     (SELECT count(*) FROM edges)::BIGINT AS e
+            ),
+            top_e AS (
+              SELECT string_agg(entity_type || '=' || cnt, ', ' ORDER BY cnt DESC, entity_type ASC) AS line
+              FROM (SELECT entity_type, count(*)::BIGINT AS cnt FROM nodes
+                    GROUP BY entity_type ORDER BY cnt DESC, entity_type ASC LIMIT 5)
+            ),
+            top_p AS (
+              SELECT string_agg(pred || '=' || cnt, ', ' ORDER BY cnt DESC, pred ASC) AS line
+              FROM (SELECT pred, count(*)::BIGINT AS cnt FROM edges
+                    GROUP BY pred ORDER BY cnt DESC, pred ASC LIMIT 5)
+            )
+            SELECT 0::INT AS line_no, 'Knowledge Graph Summary' AS line
+            UNION ALL SELECT 1, '  entities: ' || n FROM stats
+            UNION ALL SELECT 2, '  relations: ' || e FROM stats
+            UNION ALL SELECT 3, '  density: ' ||
+              printf('%.6f', CASE WHEN n > 1 THEN e / (n * (n - 1.0)) ELSE 0.0 END)
+              FROM stats
+            UNION ALL SELECT 4, '  top entity types: ' || (SELECT line FROM top_e)
+            UNION ALL SELECT 5, '  top relation types: ' || (SELECT line FROM top_p)""",
+        "g8_recommendations": _GC + """
+            , stats AS (
+              SELECT (SELECT count(*) FROM nodes)::BIGINT AS n,
+                     (SELECT count(*) FROM edges)::BIGINT AS e,
+                     (SELECT count(*) FROM (
+                        SELECT 1 FROM edges WHERE head_id NOT IN (SELECT entity_id FROM nodes)
+                        UNION ALL
+                        SELECT 1 FROM edges WHERE tail_id NOT IN (SELECT entity_id FROM nodes)))::BIGINT AS n_dangling,
+                     (SELECT count(*) FROM (
+                        SELECT lower(name) AS nn, entity_type FROM nodes
+                        GROUP BY lower(name), entity_type HAVING count(*) > 1))::BIGINT AS n_dup,
+                     (SELECT count(*) FROM edges WHERE head_id = tail_id)::BIGINT AS n_self
+            ),
+            recs AS (
+              SELECT list_filter([
+                CASE WHEN e::DOUBLE / greatest(n, 1) < 0.1
+                     THEN 'Graph is sparse: consider extracting more relations or lowering confidence thresholds' END,
+                CASE WHEN e::DOUBLE / greatest(n, 1) > 10
+                     THEN 'Graph is dense: consider raising relation confidence thresholds or pruning related_to edges' END,
+                CASE WHEN n_dangling > 0
+                     THEN 'Dangling relations found: run referential integrity enforcement' END,
+                CASE WHEN n_dup > 0
+                     THEN 'Duplicate (name, type) entities found: run entity linking / auto-merge' END,
+                CASE WHEN n_self > 0
+                     THEN 'Self-loop relations found: review extraction validation rules' END
+              ], x -> x IS NOT NULL) AS l FROM stats
+            ),
+            final AS (
+              SELECT CASE WHEN len(l) = 0 THEN ['Graph structure looks healthy'] ELSE l END AS l
+              FROM recs
+            )
+            SELECT (generate_subscripts(l, 1) - 1)::INT AS rec_idx,
+                   unnest(l) AS recommendation
+            FROM final""",
         "g_importance": _GC + _DEGREE_SQL_TAIL + """
             SELECT entity_id,
                    CASE WHEN (SELECT count(*) FROM nodes) <= 1 THEN 0.0
@@ -2094,6 +2223,110 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             QUALIFY row_number() OVER (PARTITION BY namespace
                                        ORDER BY raw DESC, item_id ASC) <= 5""",
+        "kg_chunks_simple": r"""
+            WITH RECURSIVE sel AS (
+              SELECT doc_id, text,
+                     CASE WHEN len(string_split(text, chr(10)||chr(10))) > 1 THEN chr(10)||chr(10)
+                          WHEN len(string_split(text, chr(10))) > 1 THEN chr(10)
+                          WHEN len(string_split(text, '. ')) > 1 THEN '. '
+                          WHEN len(string_split(text, '! ')) > 1 THEN '! '
+                          WHEN len(string_split(text, '? ')) > 1 THEN '? '
+                          WHEN len(string_split(text, ' ')) > 1 THEN ' '
+                     END AS sep
+              FROM documents
+            ),
+            parts0 AS (
+              SELECT doc_id, sep,
+                     unnest(string_split(text, sep)) AS p,
+                     generate_subscripts(string_split(text, sep), 1) AS i,
+                     len(string_split(text, sep)) AS n
+              FROM sel WHERE sep IS NOT NULL
+            ),
+            parts AS (
+              SELECT doc_id, i, n, CASE WHEN i < n THEN p || sep ELSE p END AS part
+              FROM parts0
+            ),
+            -- greedy packing is inherently sequential per doc: the recursion
+            -- consumes part i, either accumulating into cur or flushing it
+            -- (word/0.75 approx token count, Python int() == floor here)
+            rec AS (
+              SELECT doc_id, 1 AS i, n, '' AS cur, CAST(NULL AS VARCHAR) AS emit
+              FROM (SELECT DISTINCT doc_id, n FROM parts) s
+              UNION ALL
+              SELECT r.doc_id, r.i + 1, r.n,
+                     CASE WHEN floor(len(regexp_extract_all(r.cur || p.part, '\b\w+\b')) / 0.75) <= 40
+                          THEN r.cur || p.part ELSE p.part END,
+                     CASE WHEN floor(len(regexp_extract_all(r.cur || p.part, '\b\w+\b')) / 0.75) <= 40
+                          THEN NULL
+                          WHEN trim(r.cur, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) <> ''
+                          THEN trim(r.cur, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))
+                     END
+              FROM rec r JOIN parts p ON p.doc_id = r.doc_id AND p.i = r.i
+            ),
+            chunks0 AS (
+              SELECT doc_id, i, 0 AS sub, emit AS content FROM rec WHERE emit IS NOT NULL
+              UNION ALL
+              SELECT doc_id, i, 1,
+                     trim(cur, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))
+              FROM rec
+              WHERE i = n + 1
+                AND trim(cur, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) <> ''
+            ),
+            numbered AS (
+              SELECT doc_id,
+                     (row_number() OVER (PARTITION BY doc_id ORDER BY i, sub) - 1)::INT AS chunk_idx,
+                     content,
+                     count(*) OVER (PARTITION BY doc_id) AS n_chunks
+              FROM chunks0
+            )
+            SELECT doc_id, chunk_idx,
+                   length(content)::BIGINT AS chunk_chars,
+                   md5(content) AS chunk_md5,
+                   CASE WHEN n_chunks = 1 THEN 'document' ELSE 'chunk' END AS chunk_type
+            FROM numbered""",
+        "v10_chat_ctx_md5": r"""
+            WITH items AS (
+              SELECT doc_id::VARCHAR AS item_id, 'text_chunk' AS namespace, text AS txt
+              FROM documents
+              UNION ALL
+              SELECT 'e' || doc_id::VARCHAR, 'entity', substring(text, 1, 40) FROM documents
+              UNION ALL
+              SELECT 'r' || doc_id::VARCHAR, 'relation', substring(text, 20, 40) FROM documents
+              UNION ALL
+              SELECT '__query__', 'query', 'table join query'
+            ),
+            comps AS (
+              SELECT item_id, namespace, i,
+                     ((('0x' || substring(md5(i::VARCHAR || '#' || txt), 1, 15))::UBIGINT
+                        % 2000)::BIGINT - 1000) / 1000.0 AS c
+              FROM items CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) dim
+            ),
+            emb AS (
+              SELECT item_id, namespace, list(c ORDER BY i) AS v
+              FROM comps GROUP BY item_id, namespace
+            ),
+            q AS (SELECT v AS qv FROM emb WHERE namespace = 'query'),
+            scored AS (
+              SELECT e.item_id, e.namespace, i.txt AS content,
+                     list_cosine_similarity(v, qv) AS raw
+              FROM emb e JOIN items i USING (item_id, namespace), q
+              WHERE e.namespace <> 'query' AND list_cosine_similarity(v, qv) >= 0.05
+            ),
+            hits AS (
+              SELECT namespace,
+                     row_number() OVER (PARTITION BY namespace
+                                        ORDER BY raw DESC, item_id ASC)::INT AS rk,
+                     item_id, raw, content
+              FROM scored
+              QUALIFY rk <= CASE namespace WHEN 'entity' THEN 4
+                                           WHEN 'relation' THEN 3 ELSE 6 END
+            )
+            SELECT namespace, rk, item_id, round(raw, 3)::DOUBLE AS score,
+                   CASE WHEN namespace = 'text_chunk'
+                        THEN '文本片段 ' || rk::VARCHAR || ': ' ||
+                             substring(content, 1, 200) || '...'
+                   END AS line
+            FROM hits""",
         "v11_search_modes": r"""
             WITH items AS (
               SELECT 'e' || doc_id::VARCHAR AS item_id, 'entity' AS namespace,

@@ -293,52 +293,106 @@ def chunk_similarity(
     )
 
 
+def _top5_line(df: DataFrame, key_col: str) -> DataFrame:
+    """One-row frame: 'k1=c1, k2=c2, …' over the 5 most frequent key
+    values, ties broken ascending on the key (deterministic — a bare
+    desc-count orderBy leaves tie order to the shuffle)."""
+    return (
+        df.groupBy(key_col).count()
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.slice(
+                        F.array_sort(F.collect_list(F.struct(
+                            (-F.col("count")).alias("neg"),
+                            F.col(key_col).alias("k"),
+                            F.col("count").alias("c"),
+                        ))),
+                        1, 5,
+                    ),
+                    lambda s: F.concat(s["k"], F.lit("="), s["c"].cast("string")),
+                ),
+                ", ",
+            ).alias("top_line")
+        )
+    )
+
+
+def graph_summary_lines(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """A13 (utils.py:469-521) as a DataFrame: the summary report's lines as
+    (line_no, line) rows. All aggregates stay distributed (one-row frames
+    crossJoined — every side broadcasts); the string assembly is column
+    expressions, so the report is oracle-certifiable (a13_summary)."""
+    stats = (
+        nodes.agg(F.count("*").alias("n"))
+        .crossJoin(edges.agg(F.count("*").alias("e")))
+        .crossJoin(_top5_line(nodes, "entity_type").withColumnRenamed("top_line", "top_e"))
+        .crossJoin(_top5_line(edges, "pred").withColumnRenamed("top_line", "top_p"))
+    )
+    density = F.when(
+        F.col("n") > 1, F.col("e") / (F.col("n") * (F.col("n") - 1))
+    ).otherwise(F.lit(0.0))
+    lines = F.array(
+        F.lit("Knowledge Graph Summary"),
+        F.concat(F.lit("  entities: "), F.col("n").cast("string")),
+        F.concat(F.lit("  relations: "), F.col("e").cast("string")),
+        F.concat(F.lit("  density: "), F.format_string("%.6f", density)),
+        F.concat(F.lit("  top entity types: "), F.col("top_e")),
+        F.concat(F.lit("  top relation types: "), F.col("top_p")),
+    )
+    return stats.select(F.posexplode(lines).alias("line_no", "line"))
+
+
 def graph_summary(nodes: DataFrame, edges: DataFrame) -> str:
-    """A13 (utils.py:469-521): formatted text over collected aggregates —
-    driver-side presentation of distributed counts."""
-    n = nodes.count()
-    e = edges.count()
-    by_type = {
-        r["entity_type"]: r["count"]
-        for r in nodes.groupBy("entity_type").count().orderBy(F.desc("count")).limit(5).collect()
-    }
-    by_pred = {
-        r["pred"]: r["count"]
-        for r in edges.groupBy("pred").count().orderBy(F.desc("count")).limit(5).collect()
-    }
-    lines = [
-        "Knowledge Graph Summary",
-        f"  entities: {n}",
-        f"  relations: {e}",
-        f"  density: {e / (n * (n - 1)) if n > 1 else 0.0:.6f}",
-        "  top entity types: " + ", ".join(f"{k}={v}" for k, v in by_type.items()),
-        "  top relation types: " + ", ".join(f"{k}={v}" for k, v in by_pred.items()),
-    ]
-    return "\n".join(lines)
+    """A13: formatted text report — collects graph_summary_lines (6 rows)."""
+    rows = graph_summary_lines(nodes, edges).orderBy("line_no").collect()
+    return "\n".join(r.line for r in rows)
+
+
+REC_SPARSE = "Graph is sparse: consider extracting more relations or lowering confidence thresholds"
+REC_DENSE = "Graph is dense: consider raising relation confidence thresholds or pruning related_to edges"
+REC_DANGLING = "Dangling relations found: run referential integrity enforcement"
+REC_DUP = "Duplicate (name, type) entities found: run entity linking / auto-merge"
+REC_SELF_LOOP = "Self-loop relations found: review extraction validation rules"
+REC_HEALTHY = "Graph structure looks healthy"
+
+
+def recommendations_df(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """G8 (graph_validator.py:385-423) as a DataFrame: rule-based
+    recommendation rows (rec_idx, recommendation) from issue counts + the
+    entity/relation ratio bands (0.1 / 10). One distributed pass per issue
+    family instead of the reference's sequential exists-probes — the five
+    one-row aggregates broadcast into a single-row crossJoin."""
+    from .integrity import dangling_edges, duplicate_name_type, self_loops
+
+    stats = (
+        nodes.agg(F.count("*").alias("n"))
+        .crossJoin(edges.agg(F.count("*").alias("e")))
+        .crossJoin(dangling_edges(nodes, edges).agg(F.count("*").alias("n_dangling")))
+        .crossJoin(duplicate_name_type(nodes).agg(F.count("*").alias("n_dup")))
+        .crossJoin(self_loops(edges).agg(F.count("*").alias("n_self")))
+    )
+    ratio = F.col("e") / F.greatest(F.col("n"), F.lit(1))
+    recs = F.filter(
+        F.array(
+            F.when(ratio < 0.1, F.lit(REC_SPARSE)),
+            F.when(ratio > 10, F.lit(REC_DENSE)),
+            F.when(F.col("n_dangling") > 0, F.lit(REC_DANGLING)),
+            F.when(F.col("n_dup") > 0, F.lit(REC_DUP)),
+            F.when(F.col("n_self") > 0, F.lit(REC_SELF_LOOP)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    recs = F.when(F.size(recs) == 0, F.array(F.lit(REC_HEALTHY))).otherwise(recs)
+    return stats.select(F.posexplode(recs).alias("rec_idx", "recommendation"))
 
 
 def recommendations(nodes: DataFrame, edges: DataFrame) -> list[str]:
-    """G8 (graph_validator.py:385-423): rule-based strings from issue
-    counts + the entity/relation ratio bands (0.1 / 10)."""
-    from .integrity import dangling_edges, duplicate_name_type, self_loops
-
-    recs = []
-    n = max(nodes.count(), 1)
-    e = edges.count()
-    ratio = e / n
-    if ratio < 0.1:
-        recs.append("Graph is sparse: consider extracting more relations or lowering confidence thresholds")
-    if ratio > 10:
-        recs.append("Graph is dense: consider raising relation confidence thresholds or pruning related_to edges")
-    if dangling_edges(nodes, edges).limit(1).count() > 0:
-        recs.append("Dangling relations found: run referential integrity enforcement")
-    if duplicate_name_type(nodes).limit(1).count() > 0:
-        recs.append("Duplicate (name, type) entities found: run entity linking / auto-merge")
-    if self_loops(edges).limit(1).count() > 0:
-        recs.append("Self-loop relations found: review extraction validation rules")
-    if not recs:
-        recs.append("Graph structure looks healthy")
-    return recs
+    """G8: rule-based strings — collects recommendations_df in rule order."""
+    return [
+        r.recommendation
+        for r in recommendations_df(nodes, edges).orderBy("rec_idx").collect()
+    ]
 
 
 def shortest_path(
@@ -353,7 +407,8 @@ def shortest_path(
     (path, depth). Composition of the bounded all-paths expansion — at the
     first depth where the target appears the frontier stops growing past
     it, so the scan is the same BFS frontier walk as the reference."""
-    found = all_paths(edges, start_id, end_id, max_depth, checkpoint_dir)
+    found = all_paths(edges, start_id, end_id, max_depth,
+                      checkpoint_dir=checkpoint_dir)
     return (
         found.orderBy(F.asc("depth"), F.asc(F.concat_ws("->", "path")))
         .limit(1)

@@ -302,6 +302,75 @@ def chat_context(
 
     All assembly is distributed: one scored union pass, window top-k,
     to_json over collected structs — no driver-side loops."""
+    hits = chat_context_hits(
+        nodes, edges_rendered, chunks, query,
+        k_entities=k_entities, k_relations=k_relations, k_chunks=k_chunks,
+        threshold=threshold, content_col=content_col,
+        chunk_entity_links=chunk_entity_links, k_connected=k_connected,
+    )
+
+    def _ns_json(ns: str) -> F.Column:
+        item = F.when(
+            F.col("namespace") == ns,
+            F.struct(
+                F.col("rk"),
+                F.col("item_id").alias("id"),
+                F.col("content"),
+                F.round("score", 6).alias("score"),
+            ),
+        )
+        ordered = F.transform(
+            F.array_sort(F.collect_list(item)),
+            lambda s: s.dropFields("rk"),
+        )
+        return F.to_json(ordered)
+
+    chunk_line = F.when(
+        F.col("namespace") == "text_chunk", F.struct(F.col("rk"), F.col("line"))
+    )
+    return hits.groupBy().agg(
+        _ns_json("entity").alias("entities_json"),
+        _ns_json("relation").alias("relations_json"),
+        _ns_json("text_chunk").alias("chunks_json"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(chunk_line)), lambda s: s["line"]),
+            "\n",
+        ).alias("text_content"),
+        F.sum(F.when(F.col("namespace") == "entity", 1).otherwise(0)).alias("n_entities"),
+        F.sum(F.when(F.col("namespace") == "relation", 1).otherwise(0)).alias("n_relations"),
+        F.sum(F.when(F.col("namespace") == "text_chunk", 1).otherwise(0)).alias("n_chunks"),
+    ).select(
+        F.concat(
+            F.lit('{"entities": '), "entities_json",
+            F.lit(', "relations": '), "relations_json",
+            F.lit(', "text_chunks": '), "chunks_json", F.lit("}"),
+        ).alias("kg_context"),
+        "text_content",
+        "n_entities",
+        "n_relations",
+        "n_chunks",
+    )
+
+
+def chat_context_hits(
+    nodes: DataFrame,
+    edges_rendered: DataFrame,
+    chunks: DataFrame,
+    query: DataFrame,
+    k_entities: int = 5,
+    k_relations: int = 5,
+    k_chunks: int = 5,
+    threshold: float = 0.0,
+    content_col: str = "render_text",
+    chunk_entity_links: DataFrame | None = None,
+    k_connected: int = 5,
+) -> DataFrame:
+    """The distributed hit table chat_context assembles its JSON from:
+    (item_id, namespace, content, score, rk, line) — per-namespace
+    DISTINCT top-k (the k_map window), threshold filter, optional enhanced
+    connected-chunk expansion, and the reference's rendered 文本片段 line
+    for text_chunk hits. Exposed so the oracle gate can certify the
+    assembly row-by-row (v10_chat_ctx_md5) without the JSON wrapper."""
     from pyspark.sql import Window
 
     u = (
@@ -366,54 +435,15 @@ def chat_context(
             )
         )
         hits = hits.unionByName(extra)
-
-    def _ns_json(ns: str) -> F.Column:
-        item = F.when(
-            F.col("namespace") == ns,
-            F.struct(
-                F.col("rk"),
-                F.col("item_id").alias("id"),
-                F.col("content"),
-                F.round("score", 6).alias("score"),
-            ),
-        )
-        ordered = F.transform(
-            F.array_sort(F.collect_list(item)),
-            lambda s: s.dropFields("rk"),
-        )
-        return F.to_json(ordered)
-
-    chunk_line = F.when(
-        F.col("namespace") == "text_chunk",
-        F.struct(
-            F.col("rk"),
+    return hits.withColumn(
+        "line",
+        F.when(
+            F.col("namespace") == "text_chunk",
             F.concat(
                 F.lit("文本片段 "), F.col("rk").cast("string"), F.lit(": "),
                 F.substring(F.col("content"), 1, 200), F.lit("..."),
-            ).alias("line"),
+            ),
         ),
-    )
-    return hits.groupBy().agg(
-        _ns_json("entity").alias("entities_json"),
-        _ns_json("relation").alias("relations_json"),
-        _ns_json("text_chunk").alias("chunks_json"),
-        F.array_join(
-            F.transform(F.array_sort(F.collect_list(chunk_line)), lambda s: s["line"]),
-            "\n",
-        ).alias("text_content"),
-        F.sum(F.when(F.col("namespace") == "entity", 1).otherwise(0)).alias("n_entities"),
-        F.sum(F.when(F.col("namespace") == "relation", 1).otherwise(0)).alias("n_relations"),
-        F.sum(F.when(F.col("namespace") == "text_chunk", 1).otherwise(0)).alias("n_chunks"),
-    ).select(
-        F.concat(
-            F.lit('{"entities": '), "entities_json",
-            F.lit(', "relations": '), "relations_json",
-            F.lit(', "text_chunks": '), "chunks_json", F.lit("}"),
-        ).alias("kg_context"),
-        "text_content",
-        "n_entities",
-        "n_relations",
-        "n_chunks",
     )
 
 
