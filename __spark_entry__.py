@@ -93,8 +93,37 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # ---------------------------------------------------------------- graph ops
 
+def _graph_db_name(sf_dir: str) -> str:
+    import re as _re
+
+    return "graph_" + _re.sub(r"\W+", "_", sf_dir).strip("_")
+
+
+_GRAPH_STORE_READY: set[tuple[int, str]] = set()
+
+
 def _g(spark, sf_dir):
-    return build_graph(spark, sf_dir)
+    """(nodes, edges) for the g_* family, served from the bucketed graph
+    store (VERDICT r3 #6): the first g_* query of a session pays one
+    build_graph + write_graph_bucketed into the session catalog; every
+    subsequent graph query reads the bucketed tables instead of re-running
+    the 4-table union build, and entity-keyed joins plan Exchange-free
+    (io.py:55, plan-asserted in test_sources_sinks). Falls back to the
+    direct build if the catalog/warehouse is unwritable."""
+    from agraph_spark.io import read_graph_bucketed, write_graph_bucketed
+
+    db = _graph_db_name(sf_dir)
+    key = (id(spark.sparkContext), db)
+    try:
+        if key not in _GRAPH_STORE_READY:
+            if not spark.catalog.tableExists(f"{db}.nodes"):
+                nodes, edges = build_graph(spark, sf_dir)
+                write_graph_bucketed(nodes, edges, db, n_buckets=16)
+            _GRAPH_STORE_READY.add(key)
+        t = read_graph_bucketed(spark, db)
+        return t["nodes"], t["edges"]
+    except Exception:
+        return build_graph(spark, sf_dir)
 
 
 def q_g_degree(spark, sf_dir):

@@ -199,11 +199,11 @@ def export_d3(nodes: DataFrame, edges: DataFrame, max_rows: int = 100_000) -> st
 TEXT_EXTS = {".txt", ".md", ".markdown", ".log"}
 JSON_EXTS = {".json", ".jsonl"}
 CSV_EXTS = {".csv", ".tsv"}
-STUB_EXTS = {".doc": "legacy-word",
-             ".png": "image-ocr", ".jpg": "image-ocr", ".jpeg": "image-ocr"}
+STUB_EXTS = {".png": "image-ocr", ".jpg": "image-ocr", ".jpeg": "image-ocr"}
 HTML_EXTS = {".html", ".htm"}
 XLSX_EXTS = {".xlsx", ".xlsm"}
 DOCX_EXTS = {".docx"}
+DOC_EXTS = {".doc"}
 PDF_EXTS = {".pdf"}
 
 
@@ -217,11 +217,11 @@ def read_documents(
     """S2: extension-dispatched document reader -> (conv_id, text).
 
     Text/markdown via wholeTextFiles-equivalent, JSON/CSV via native
-    readers (all columns stringified and joined); html/xlsx/docx/pdf via
-    stdlib parsers inside the binaryFile mapInPandas kernel. Legacy .doc
-    and image-OCR formats raise NotImplementedError (their codec libraries
-    are not in this container) — the dispatch mirrors
-    DocumentProcessorFactory (processer/factory.py).
+    readers (all columns stringified and joined); html/xlsx/docx/doc/pdf
+    via stdlib parsers inside the binaryFile mapInPandas kernel (.doc =
+    OLE2/CFB + MS-DOC piece table, _doc_to_text). Image-OCR formats raise
+    NotImplementedError (no OCR engine in this container) — the dispatch
+    mirrors DocumentProcessorFactory (processer/factory.py).
 
     For the binary formats, ``skip_corrupt`` (default) quarantines files
     the parser rejects as text=NULL rows instead of aborting the scan;
@@ -235,6 +235,7 @@ def read_documents(
     binary_parsers = {**{e: _html_to_text for e in HTML_EXTS},
                       **{e: _xlsx_to_text for e in XLSX_EXTS},
                       **{e: _docx_to_text for e in DOCX_EXTS},
+                      **{e: _doc_to_text for e in DOC_EXTS},
                       **{e: _pdf_to_text for e in PDF_EXTS}}
     if ext in binary_parsers:
         out = _read_binary_documents(
@@ -403,6 +404,182 @@ def _docx_to_text(raw: bytes) -> str:
             if any(cells):
                 parts.append("\t".join(cells))
     return "\n".join(parts)
+
+
+def _cfb_streams(raw: bytes) -> dict[str, bytes]:
+    """Minimal OLE2/CFB (Compound File Binary, [MS-CFB]) reader: header →
+    DIFAT → FAT chains → directory → per-stream bytes, with mini-stream
+    (miniFAT) support for streams under the header's cutoff. Raises
+    ValueError on any structural corruption (cycles, out-of-range sectors)
+    so read_documents' quarantine path catches it."""
+    import struct
+
+    if len(raw) < 512 or raw[:8] != b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
+        raise ValueError("not an OLE2 compound file")
+    ssz = 1 << struct.unpack_from("<H", raw, 30)[0]
+    mssz = 1 << struct.unpack_from("<H", raw, 32)[0]
+    n_fat = struct.unpack_from("<I", raw, 44)[0]
+    dir_start = struct.unpack_from("<I", raw, 48)[0]
+    mini_cutoff = struct.unpack_from("<I", raw, 56)[0]
+    minifat_start = struct.unpack_from("<I", raw, 60)[0]
+    n_minifat = struct.unpack_from("<I", raw, 64)[0]
+    difat_start = struct.unpack_from("<I", raw, 68)[0]
+    n_difat = struct.unpack_from("<I", raw, 72)[0]
+    difat = list(struct.unpack_from("<109I", raw, 76))
+    FREE, END = 0xFFFFFFFF, 0xFFFFFFFE
+
+    def sector(i: int) -> bytes:
+        off = 512 + i * ssz
+        if i < 0 or off + ssz > len(raw):
+            raise ValueError("sector out of range")
+        return raw[off:off + ssz]
+
+    s, difat_seen = difat_start, set()
+    for _ in range(min(n_difat, len(raw) // ssz + 1)):
+        if s in (FREE, END):
+            break
+        if s in difat_seen:
+            raise ValueError("DIFAT cycle")
+        difat_seen.add(s)
+        vals = struct.unpack(f"<{ssz // 4}I", sector(s))
+        difat.extend(vals[:-1])
+        s = vals[-1]
+    fat_sectors = [i for i in difat if i != FREE][:n_fat]
+    fat = struct.unpack(
+        f"<{len(fat_sectors) * ssz // 4}I", b"".join(sector(i) for i in fat_sectors)
+    )
+
+    def chain(start: int) -> list[int]:
+        out: list[int] = []
+        s, seen = start, set()
+        while s not in (END, FREE):
+            if s in seen or s >= len(fat):
+                raise ValueError("corrupt FAT chain")
+            seen.add(s)
+            out.append(s)
+            s = fat[s]
+        return out
+
+    dirdata = b"".join(sector(i) for i in chain(dir_start))
+    entries = []
+    for off in range(0, len(dirdata) - 127, 128):
+        ent = dirdata[off:off + 128]
+        nlen = struct.unpack_from("<H", ent, 64)[0]
+        typ = ent[66]
+        if typ not in (2, 5) or nlen < 2 or nlen > 64:
+            continue
+        name = ent[:nlen - 2].decode("utf-16-le", "replace")
+        start = struct.unpack_from("<I", ent, 116)[0]
+        size = struct.unpack_from("<Q", ent, 120)[0]
+        entries.append((name, typ, start, size))
+    root = next((e for e in entries if e[1] == 5), None)
+    ministream = b""
+    if root is not None and root[3] > 0:
+        ministream = b"".join(sector(i) for i in chain(root[2]))[:root[3]]
+    minifat: tuple = ()
+    if n_minifat and minifat_start not in (FREE, END):
+        mf = b"".join(sector(i) for i in chain(minifat_start))
+        minifat = struct.unpack(f"<{len(mf) // 4}I", mf)
+
+    def minichain(start: int) -> list[int]:
+        out: list[int] = []
+        s, seen = start, set()
+        while s not in (END, FREE):
+            if s in seen or s >= len(minifat):
+                raise ValueError("corrupt miniFAT chain")
+            seen.add(s)
+            out.append(s)
+            s = minifat[s]
+        return out
+
+    streams = {}
+    for name, typ, start, size in entries:
+        if typ != 2:
+            continue
+        if size < mini_cutoff:
+            data = b"".join(
+                ministream[i * mssz:(i + 1) * mssz] for i in minichain(start)
+            )
+        else:
+            data = b"".join(sector(i) for i in chain(start))
+        if len(data) < size:
+            raise ValueError("stream shorter than directory size")
+        streams[name] = data[:size]
+    return streams
+
+
+def _doc_to_text(raw: bytes) -> str:
+    """S2 legacy .doc source via pure stdlib ([MS-DOC]; reference:
+    processer/word_processor.py's antiword/docx2txt path): CFB container →
+    WordDocument stream FIB → Clx piece table in the 0Table/1Table stream
+    → text pieces (cp1252 when the FcCompressed bit is set, UTF-16LE
+    otherwise), truncated to ccpText (main body, excluding footnote/header
+    sub-documents). Word's paragraph marks (CR), vertical tabs, and cell
+    marks normalize to newline/tab, then the same non-empty-stripped-line
+    assembly as _docx_to_text.
+
+    Honest scope: unencrypted Word 97-2003 files (plus the pre-Clx
+    fcMin/fcMax fallback). Encrypted (fEncrypted) and fast-saved complex
+    files with Prc property revisions keep their text extractable here;
+    OCR/embedded-object content does not."""
+    import re as _re
+    import struct
+
+    streams = _cfb_streams(raw)
+    wd = streams.get("WordDocument")
+    if wd is None or len(wd) < 0x20:
+        raise ValueError("no WordDocument stream")
+    if struct.unpack_from("<H", wd, 0)[0] != 0xA5EC:
+        raise ValueError("bad FIB magic")
+    flags = struct.unpack_from("<H", wd, 0x000A)[0]
+    if flags & 0x0100:  # fEncrypted
+        raise ValueError("encrypted .doc not supported")
+    table = streams.get("1Table" if flags & 0x0200 else "0Table", b"")
+    ccp_text = struct.unpack_from("<I", wd, 76)[0] if len(wd) >= 80 else 0
+    fc_clx = lcb_clx = 0
+    if len(wd) >= 0x01AA:
+        fc_clx, lcb_clx = struct.unpack_from("<II", wd, 0x01A2)
+    if lcb_clx and fc_clx + lcb_clx <= len(table):
+        clx = table[fc_clx:fc_clx + lcb_clx]
+        pos = 0
+        while pos < len(clx) and clx[pos] == 0x01:  # Prc revisions: skip
+            if pos + 3 > len(clx):
+                raise ValueError("truncated Prc")
+            cb = struct.unpack_from("<h", clx, pos + 1)[0]
+            pos += 3 + max(cb, 0)
+        if pos + 5 > len(clx) or clx[pos] != 0x02:
+            raise ValueError("no Pcdt in Clx")
+        lcb = struct.unpack_from("<I", clx, pos + 1)[0]
+        plc = clx[pos + 5:pos + 5 + lcb]
+        if len(plc) < lcb or lcb < 4 or (lcb - 4) % 12:
+            raise ValueError("bad PlcPcd")
+        k = (lcb - 4) // 12
+        cps = struct.unpack_from(f"<{k + 1}I", plc, 0)
+        parts = []
+        for i in range(k):
+            fcc = struct.unpack_from("<I", plc, 4 * (k + 1) + 8 * i + 2)[0]
+            n = cps[i + 1] - cps[i]
+            if fcc & 0x40000000:
+                fc = (fcc & 0x3FFFFFFF) // 2
+                parts.append(wd[fc:fc + n].decode("cp1252", "replace"))
+            else:
+                fc = fcc & 0x3FFFFFFF
+                parts.append(wd[fc:fc + 2 * n].decode("utf-16-le", "replace"))
+        text = "".join(parts)
+    else:
+        fc_min, fc_max = struct.unpack_from("<II", wd, 0x18)
+        if not (0 <= fc_min <= fc_max <= len(wd)):
+            raise ValueError("bad fcMin/fcMax text range")
+        text = wd[fc_min:fc_max].decode("cp1252", "replace")
+    if ccp_text:
+        text = text[:ccp_text]
+    text = (
+        text.replace("\r\n", "\n").replace("\r", "\n")
+        .replace("\x0b", "\n").replace("\x07", "\t")
+    )
+    text = _re.sub(r"[\x00-\x08\x0c-\x1f]", "", text)
+    lines = (ln.strip() for ln in text.split("\n"))
+    return "\n".join(ln for ln in lines if ln)
 
 
 def _pdf_unescape(s: bytes) -> str:

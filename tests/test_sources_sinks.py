@@ -135,8 +135,8 @@ def test_read_documents_dispatch(spark, tmp_path):
     p.write_text("hello world doc")
     docs = read_documents(spark, str(p))
     assert docs.first().text == "hello world doc"
-    with pytest.raises(NotImplementedError, match="legacy-word"):
-        read_documents(spark, "/nonexistent/x.doc")
+    with pytest.raises(NotImplementedError, match="image-ocr"):
+        read_documents(spark, "/nonexistent/x.png")
 
 
 def test_salted_aggregations(spark):
@@ -389,8 +389,131 @@ def test_docx_and_pdf_extraction(spark, tmp_path):
              read_documents(spark, str(d / "*.pdf")).collect()}
     assert "Knowledge graphs link entities." in prows["b.pdf"]
 
-    with _pt.raises(NotImplementedError):
-        read_documents(spark, str(d / "c.doc"))
+    (d / "c.doc").write_bytes(_mini_doc())
+    drows = {r.conv_id: r.text for r in
+             read_documents(spark, str(d / "*.doc")).collect()}
+    assert drows["c.doc"] == "Alice works at Acme Corp.\nBob lives in Zürich — naïve café."
+
+
+def _cfb_container(streams: dict[str, bytes], cutoff: int = 4096) -> bytes:
+    """Minimal [MS-CFB] writer for fixtures: 512-byte sectors, streams
+    under ``cutoff`` go through the root mini stream + miniFAT (so the
+    reader's mini path is exercised), one FAT sector, one directory
+    sector."""
+    import struct
+
+    FREE, END, FATSECT = 0xFFFFFFFF, 0xFFFFFFFE, 0xFFFFFFFD
+    sectors: list[bytes] = []
+    chains: list[tuple[int, int]] = []
+
+    def add(data: bytes) -> tuple[int, int]:
+        start = len(sectors)
+        n = max(1, (len(data) + 511) // 512)
+        for i in range(n):
+            sectors.append(data[i * 512:(i + 1) * 512].ljust(512, b"\x00"))
+        chains.append((start, n))
+        return start, n
+
+    big = {n: d for n, d in streams.items() if len(d) >= cutoff}
+    small = {n: d for n, d in streams.items() if len(d) < cutoff}
+    place = {n: add(d) for n, d in big.items()}
+
+    mini_data, mini_place, minifat_entries = b"", {}, []
+    for n, d in small.items():
+        ms = len(mini_data) // 64
+        mn = max(1, (len(d) + 63) // 64)
+        mini_place[n] = ms
+        mini_data += d.ljust(mn * 64, b"\x00")
+        minifat_entries += list(range(ms + 1, ms + mn)) + [END]
+    root_start, root_size = (END, 0)
+    if mini_data:
+        root_start = add(mini_data)[0]
+        root_size = len(mini_data)
+        mf = struct.pack(f"<{len(minifat_entries)}I", *minifat_entries)
+        minifat_start = add(mf.ljust(512, b"\xff"))[0]
+        n_minifat = 1
+    else:
+        minifat_start, n_minifat = END, 0
+
+    def dirent(name: str, typ: int, start: int, size: int) -> bytes:
+        nm = name.encode("utf-16-le")
+        ent = bytearray(128)
+        ent[0:len(nm)] = nm
+        struct.pack_into("<H", ent, 64, len(nm) + 2)
+        ent[66] = typ
+        ent[67] = 1  # black
+        struct.pack_into("<i", ent, 68, -1)   # siblings/child: none
+        struct.pack_into("<i", ent, 72, -1)
+        struct.pack_into("<i", ent, 76, 1 if typ == 5 else -1)
+        struct.pack_into("<I", ent, 116, start)
+        struct.pack_into("<Q", ent, 120, size)
+        return bytes(ent)
+
+    dirents = [dirent("Root Entry", 5, root_start, root_size)]
+    for n, d in streams.items():
+        start = mini_place[n] if n in mini_place else place[n][0]
+        dirents.append(dirent(n, 2, start, len(d)))
+    dir_start = add(b"".join(dirents))[0]
+
+    fat_sector = len(sectors)  # FAT will be the last sector
+    fat = [FREE] * 128
+    for start, n in chains:
+        for i in range(n - 1):
+            fat[start + i] = start + i + 1
+        fat[start + n - 1] = END
+    fat[fat_sector] = FATSECT
+    import struct as _st
+    sectors.append(_st.pack("<128I", *fat))
+
+    hdr = bytearray(512)
+    hdr[0:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+    _st.pack_into("<H", hdr, 24, 0x003E)   # minor
+    _st.pack_into("<H", hdr, 26, 0x0003)   # major (512-byte sectors)
+    _st.pack_into("<H", hdr, 28, 0xFFFE)   # byte order
+    _st.pack_into("<H", hdr, 30, 9)        # sector shift
+    _st.pack_into("<H", hdr, 32, 6)        # mini sector shift
+    _st.pack_into("<I", hdr, 44, 1)        # n FAT sectors
+    _st.pack_into("<I", hdr, 48, dir_start)
+    _st.pack_into("<I", hdr, 56, cutoff)
+    _st.pack_into("<I", hdr, 60, minifat_start)
+    _st.pack_into("<I", hdr, 64, n_minifat)
+    _st.pack_into("<I", hdr, 68, END)      # no extended DIFAT
+    _st.pack_into("<I", hdr, 72, 0)
+    difat = [FREE] * 109
+    difat[0] = fat_sector
+    _st.pack_into("<109I", hdr, 76, *difat)
+    return bytes(hdr) + b"".join(sectors)
+
+
+def _mini_doc() -> bytes:
+    """Word 97 .doc fixture: two-piece piece table — piece 1 cp1252
+    (compressed fc), piece 2 UTF-16LE with non-ASCII — so both FcCompressed
+    decodings and the Clx walk are exercised; the small 1Table stream lands
+    in the mini stream, the padded WordDocument in normal sectors."""
+    import struct
+
+    p1 = "Alice works at Acme Corp.\r"
+    p2 = "Bob lives in Zürich — naïve café.\r"
+    text_off = 1024
+    wd = bytearray(4608)  # >= 4096 so WordDocument takes the normal-FAT path
+    struct.pack_into("<H", wd, 0, 0xA5EC)
+    struct.pack_into("<H", wd, 0x000A, 0x0200)       # fWhichTblStm -> 1Table
+    struct.pack_into("<I", wd, 76, len(p1) + len(p2))  # ccpText
+    wd[text_off:text_off + len(p1)] = p1.encode("cp1252")
+    u_off = text_off + len(p1)
+    wd[u_off:u_off + 2 * len(p2)] = p2.encode("utf-16-le")
+
+    # Clx: clxt=2, lcbPlcPcd, CPs [0, n1, n1+n2], 2 PCDs
+    cps = [0, len(p1), len(p1) + len(p2)]
+    pcd1 = struct.pack("<HIH", 0, (text_off * 2) | 0x40000000, 0)
+    pcd2 = struct.pack("<HIH", 0, u_off, 0)
+    plc = struct.pack("<3I", *cps) + pcd1 + pcd2
+    clx = b"\x02" + struct.pack("<I", len(plc)) + plc
+    fc_clx = 16
+    table = b"\x00" * fc_clx + clx
+    struct.pack_into("<II", wd, 0x01A2, fc_clx, len(clx))
+    return _cfb_container({"WordDocument": bytes(wd), "1Table": table},
+                          cutoff=4096)
 
 
 def test_corrupt_file_quarantine(spark, tmp_path):
@@ -424,7 +547,7 @@ def test_parser_fuzz_no_hang_or_weird_errors():
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
-    from agraph_spark.io import _docx_to_text, _pdf_to_text
+    from agraph_spark.io import _doc_to_text, _docx_to_text, _pdf_to_text
 
     @settings(max_examples=200, deadline=1000)
     @given(st.binary(max_size=4096))
@@ -439,8 +562,25 @@ def test_parser_fuzz_no_hang_or_weird_errors():
             assert isinstance(out, str)
         except Exception:
             pass  # BadZipFile / KeyError / ParseError — quarantined upstream
+        try:
+            out = _doc_to_text(raw)
+            assert isinstance(out, str)
+        except Exception as e:
+            # struct.error on truncated headers, ValueError on corrupt
+            # FAT/FIB — both quarantined upstream; nothing else may escape
+            import struct as _struct
+            assert isinstance(e, (ValueError, _struct.error, StopIteration)), e
 
     fuzz()
+
+    # seeded .doc corruption: valid CFB magic + garbage body, cyclic FAT
+    import struct as _struct
+    for raw in [b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 504,
+                b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\xff" * 1024]:
+        try:
+            _doc_to_text(raw)
+        except (ValueError, _struct.error, StopIteration):
+            pass
 
     # seeded structured-ish inputs: stream markers without valid deflate
     for raw in [b"<< /Filter /FlateDecode >> stream\nnotzlib\nendstream",
