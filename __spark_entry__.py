@@ -947,6 +947,85 @@ def q_v10_chat_ctx_md5(spark, sf_dir):
     )
 
 
+def q_v1_render(spark, sf_dir):
+    """V1 embedding-text rendering (entity/relation/chunk forms,
+    graph_embedding.py:345-548) oracle-certified string-exact over fixtures
+    that exercise every branch: empty/NULL descriptions, NULL/empty alias
+    arrays, missing endpoints (bare-pred fallback), default chunk_type,
+    single-entry metadata maps (single so map order can't diverge)."""
+    from agraph_spark.operators.vectors import (
+        render_chunk_text, render_entity_text, render_relation_text)
+
+    d = _docs(spark, sf_dir)
+    key = F.col("doc_id")
+    ents = d.select(
+        F.concat(F.lit("e"), key.cast("string")).alias("entity_id"),
+        F.substring("text", 1, 20).alias("name"),
+        F.when(key % 3 == 0, F.lit(None).cast("string"))
+         .when(key % 3 == 1, F.lit(""))
+         .otherwise(F.substring("text", 25, 20)).alias("description"),
+        F.when(key % 4 == 0, F.array(F.concat(F.lit("a"), key.cast("string")),
+                                     F.concat(F.lit("b"), key.cast("string"))))
+         .when(key % 4 == 1, F.array().cast("array<string>"))
+         .otherwise(F.lit(None).cast("array<string>")).alias("aliases"),
+    )
+    rels = d.select(
+        F.concat(F.lit("r"), key.cast("string")).alias("edge_id"),
+        F.when(key % 5 != 0, F.concat(F.lit("h"), key.cast("string"))).alias("head_name"),
+        F.when(key % 7 != 0, F.concat(F.lit("t"), key.cast("string"))).alias("tail_name"),
+        F.lit("related_to").alias("pred"),
+        F.when(key % 2 == 0, F.substring("text", 40, 15)).alias("description"),
+    )
+    chunks = d.select(
+        F.concat(F.lit("c"), key.cast("string")).alias("chunk_id"),
+        F.when(key % 3 == 0, F.concat(F.lit("T"), key.cast("string"))).alias("title"),
+        F.substring("text", 1, 50).alias("content"),
+        F.when(key % 2 == 0, F.concat(F.lit("src"), key.cast("string")))
+         .otherwise(F.lit("")).alias("source"),
+        F.when(key % 5 != 0, F.lit("chunk")).alias("chunk_type"),
+        F.when(key % 4 == 0,
+               F.create_map(F.lit("k1"), F.concat(F.lit("v"), key.cast("string"))))
+         .alias("metadata"),
+    )
+    return (
+        render_entity_text(ents).select(
+            F.col("entity_id").alias("item_id"), F.lit("entity").alias("kind"),
+            "render_text")
+        .unionByName(render_relation_text(rels).select(
+            F.col("edge_id").alias("item_id"), F.lit("relation").alias("kind"),
+            "render_text"))
+        .unionByName(render_chunk_text(chunks).select(
+            F.col("chunk_id").alias("item_id"), F.lit("chunk").alias("kind"),
+            "render_text"))
+    )
+
+
+def q_s7_exports(spark, sf_dir):
+    """S7/S8 export formats oracle-certified: md5 of the EXACT GraphML /
+    Cytoscape / D3 / JSON-lines document strings the export operators
+    assemble over a deterministically-ordered 50-node/50-edge slice of the
+    TPC-H graph (exports collect driver-side by design — display surface,
+    SURVEY S7 — so the query wraps the one-row digest)."""
+    import hashlib
+
+    from agraph_spark.io import export_cytoscape, export_d3, export_graphml
+
+    nodes, edges = _g(spark, sf_dir)
+    n50 = nodes.orderBy("entity_id").limit(50)
+    # full-row ordering: (head, tail, pred) can tie across sources, and a
+    # tie on every exported field is output-identical anyway
+    e50 = edges.orderBy("head_id", "tail_id", "pred", "confidence", "source").limit(50)
+    gml = export_graphml(n50, e50)
+    cyto = export_cytoscape(n50, e50)
+    d3 = export_d3(n50, e50)
+    md5 = lambda s: hashlib.md5(s.encode("utf-8")).hexdigest()
+    return spark.createDataFrame(
+        [(md5(gml), len(gml), md5(cyto), len(cyto), md5(d3), len(d3))],
+        "graphml_md5 string, graphml_len long, cyto_md5 string, "
+        "cyto_len long, d3_md5 string, d3_len long",
+    )
+
+
 def q_v_topk(spark, sf_dir):
     """V4 brute-force cosine top-k (the ANN baseline)."""
     emb = _emb(spark, sf_dir)
@@ -1374,6 +1453,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "kg_chunks_simple": q_kg_chunks_simple,
         "a13_summary": q_a13_summary,
         "g8_recommendations": q_g8_recommendations,
+        "v1_render": q_v1_render,
+        "s7_exports": q_s7_exports,
         # --- flagship re-certifications filling the window to 50 ---
         "g_components": q_g_components,
         "g_cycles": q_g_cycles,
@@ -2252,6 +2333,114 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             QUALIFY row_number() OVER (PARTITION BY namespace
                                        ORDER BY raw DESC, item_id ASC) <= 5""",
+        "v1_render": r"""
+            WITH d AS (SELECT doc_id AS k, text FROM documents),
+            ents AS (
+              SELECT 'e' || k::VARCHAR AS item_id, 'entity' AS kind,
+                     concat_ws(' ',
+                       substring(text, 1, 20),
+                       CASE WHEN length(coalesce(
+                              CASE WHEN k % 3 = 0 THEN NULL
+                                   WHEN k % 3 = 1 THEN ''
+                                   ELSE substring(text, 25, 20) END, '')) > 0
+                            THEN substring(text, 25, 20) END,
+                       CASE WHEN k % 4 = 0
+                            THEN '别名: ' || 'a' || k::VARCHAR || ', ' || 'b' || k::VARCHAR
+                       END) AS render_text
+              FROM d
+            ),
+            rels AS (
+              SELECT 'r' || k::VARCHAR AS item_id, 'relation' AS kind,
+                     CASE WHEN length(joined) > 0 THEN joined
+                          ELSE 'related_to' END AS render_text
+              FROM (
+                SELECT k, concat_ws(' ',
+                  CASE WHEN k % 5 <> 0 AND k % 7 <> 0
+                       THEN 'h' || k::VARCHAR || ' related_to ' || 't' || k::VARCHAR END,
+                  CASE WHEN k % 2 = 0 AND length(substring(text, 40, 15)) > 0
+                       THEN substring(text, 40, 15) END) AS joined
+                FROM d)
+            ),
+            chunks AS (
+              SELECT 'c' || k::VARCHAR AS item_id, 'chunk' AS kind,
+                     concat_ws(' | ',
+                       CASE WHEN k % 3 = 0 THEN 'Title: T' || k::VARCHAR END,
+                       CASE WHEN length(substring(text, 1, 50)) > 0
+                            THEN 'Content: ' || substring(text, 1, 50) END,
+                       CASE WHEN k % 2 = 0 THEN 'Source: src' || k::VARCHAR END,
+                       'Type: ' || CASE WHEN k % 5 <> 0 THEN 'chunk' ELSE 'paragraph' END,
+                       CASE WHEN k % 4 = 0 THEN 'Metadata: k1: v' || k::VARCHAR END
+                     ) AS render_text
+              FROM d
+            )
+            SELECT * FROM ents UNION ALL SELECT * FROM rels
+            UNION ALL SELECT * FROM chunks""",
+        "s7_exports": _GC + r"""
+            , n50 AS (SELECT * FROM nodes ORDER BY entity_id LIMIT 50),
+            e50 AS (SELECT * FROM edges
+                    ORDER BY head_id, tail_id, pred, confidence, source LIMIT 50),
+            esc AS (  -- xml.sax.saxutils.escape: & first, then < >
+              SELECT entity_id,
+                     replace(replace(replace(coalesce(name, ''), '&', '&amp;'),
+                             '<', '&lt;'), '>', '&gt;') AS name_x,
+                     entity_type FROM n50
+            ),
+            gml_nodes AS (
+              SELECT string_agg('<node id="' || entity_id || '"><data key="d0">'
+                       || name_x || '</data><data key="d1">' || entity_type
+                       || '</data></node>', chr(10) ORDER BY entity_id) AS s
+              FROM esc
+            ),
+            gml_edges AS (
+              SELECT string_agg('<edge source="' || head_id || '" target="'
+                       || tail_id || '"><data key="d2">' || pred
+                       || '</data><data key="d3">' || confidence::DOUBLE::VARCHAR
+                       || '</data></edge>', chr(10)
+                       ORDER BY head_id, tail_id, pred, confidence, source) AS s
+              FROM e50
+            ),
+            gml AS (
+              SELECT '<?xml version="1.0" encoding="UTF-8"?>' || chr(10)
+                || '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">' || chr(10)
+                || '<key id="d0" for="node" attr.name="name" attr.type="string"/>' || chr(10)
+                || '<key id="d1" for="node" attr.name="entity_type" attr.type="string"/>' || chr(10)
+                || '<key id="d2" for="edge" attr.name="pred" attr.type="string"/>' || chr(10)
+                || '<key id="d3" for="edge" attr.name="confidence" attr.type="double"/>' || chr(10)
+                || '<graph edgedefault="directed">' || chr(10)
+                || (SELECT s FROM gml_nodes) || chr(10)
+                || (SELECT s FROM gml_edges) || chr(10)
+                || '</graph>' || chr(10) || '</graphml>' AS doc
+            ),
+            cyto AS (
+              SELECT '{"elements": ['
+                || (SELECT string_agg('{"data": {"id": "' || entity_id
+                      || '", "label": "' || name || '", "type": "' || entity_type
+                      || '"}}', ', ' ORDER BY entity_id) FROM n50)
+                || ', '
+                || (SELECT string_agg('{"data": {"source": "' || head_id
+                      || '", "target": "' || tail_id || '", "label": "' || pred
+                      || '"}}', ', '
+                      ORDER BY head_id, tail_id, pred, confidence, source) FROM e50)
+                || ']}' AS doc
+            ),
+            d3 AS (
+              SELECT '{"nodes": ['
+                || (SELECT string_agg('{"id": "' || entity_id || '", "name": "'
+                      || name || '", "group": "' || entity_type || '"}', ', '
+                      ORDER BY entity_id) FROM n50)
+                || '], "links": ['
+                || (SELECT string_agg('{"source": "' || head_id || '", "target": "'
+                      || tail_id || '", "type": "' || pred || '", "value": '
+                      || confidence::DOUBLE::VARCHAR || '}', ', '
+                      ORDER BY head_id, tail_id, pred, confidence, source) FROM e50)
+                || ']}' AS doc
+            )
+            SELECT md5((SELECT doc FROM gml)) AS graphml_md5,
+                   length((SELECT doc FROM gml))::BIGINT AS graphml_len,
+                   md5((SELECT doc FROM cyto)) AS cyto_md5,
+                   length((SELECT doc FROM cyto))::BIGINT AS cyto_len,
+                   md5((SELECT doc FROM d3)) AS d3_md5,
+                   length((SELECT doc FROM d3))::BIGINT AS d3_len""",
         "kg_chunks_simple": r"""
             WITH RECURSIVE sel AS (
               SELECT doc_id, text,
