@@ -947,6 +947,58 @@ def q_v10_chat_ctx_md5(spark, sf_dir):
     )
 
 
+def q_f6_stream_merge(spark, sf_dir):
+    """F6/D8 driver-visible: a real readStream → foreachBatch(batch
+    pipeline) → bucket-MERGE loop over transcripts synthesized
+    deterministically from the documents table (50 docs → 3 turns each),
+    drained in two trigger-once passes with a re-sent conversation to
+    prove idempotency. Rows-only by declared necessity — the extraction
+    kernel is the same non-SQL regex engine as kg_triples_docs; the
+    stream-equals-batch property is pytest-certified
+    (test_merge_stream_equals_batch_and_is_idempotent)."""
+    import shutil
+    import tempfile
+
+    from agraph_spark.streaming.incremental import start_transcript_merge_stream
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 50)
+    third = (F.length("text") / 3).cast("int")
+    turns = None
+    for i in range(3):
+        t = d.select(
+            F.concat(F.lit("c"), F.col("doc_id").cast("string")).alias("conv_id"),
+            F.lit(i).alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.substring_index(F.substring("text", i * 200 + 1, 200), " ", 30).alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.lit(None).cast("timestamp").alias("ts"),
+        )
+        turns = t if turns is None else turns.unionByName(t)
+
+    work = tempfile.mkdtemp(prefix="f6_stream_")
+    try:
+        inp = os.path.join(work, "in")
+        out = os.path.join(work, "out")
+        turns.where(F.col("conv_id") < "c25").write.mode("append").parquet(inp)
+        start_transcript_merge_stream(spark, inp, out, n_buckets=8).awaitTermination(300)
+        # second drain: the rest PLUS a re-send of c1 (idempotent MERGE)
+        turns.where((F.col("conv_id") >= "c25") | (F.col("conv_id") == "c1")) \
+            .write.mode("append").parquet(inp)
+        start_transcript_merge_stream(spark, inp, out, n_buckets=8).awaitTermination(300)
+        stored = spark.read.parquet(os.path.join(out, "triples_store"))
+        result = stored.groupBy("pred").agg(
+            F.count("*").alias("n_triples"),
+            F.count_distinct("conv_id").alias("n_convs"),
+            F.count_distinct("subj").alias("n_subjects"),
+        ).orderBy("pred").collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r.pred, r.n_triples, r.n_convs, r.n_subjects) for r in result],
+        "pred string, n_triples long, n_convs long, n_subjects long",
+    )
+
+
 def q_v1_render(spark, sf_dir):
     """V1 embedding-text rendering (entity/relation/chunk forms,
     graph_embedding.py:345-548) oracle-certified string-exact over fixtures
@@ -1455,6 +1507,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "g8_recommendations": q_g8_recommendations,
         "v1_render": q_v1_render,
         "s7_exports": q_s7_exports,
+        "f6_stream_merge": q_f6_stream_merge,
         # --- flagship re-certifications filling the window to 50 ---
         "g_components": q_g_components,
         "g_cycles": q_g_cycles,
