@@ -1078,6 +1078,88 @@ def q_s7_exports(spark, sf_dir):
     )
 
 
+def q_s4_graphml_import(spark, sf_dir):
+    """S4 GraphML source oracle-certified: import a fixed document through
+    import_graphml (driver-side ElementTree parse — interchange-scale by
+    design) incl. XML entity unescaping and the d0-d3 key layout; VALUES
+    oracle. The fixture is independent of sf_dir (source-format parsing
+    has no scale axis)."""
+    from agraph_spark.io import import_graphml
+
+    xml = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">'
+        '<graph edgedefault="directed">'
+        '<node id="n1"><data key="d0">Acme &amp; Sons &lt;Ltd&gt;</data>'
+        '<data key="d1">org</data></node>'
+        '<node id="n2"><data key="d0">Bob</data><data key="d1">person</data></node>'
+        '<node id="n3"><data key="d0"></data></node>'
+        '<edge source="n2" target="n1"><data key="d2">works_for</data>'
+        '<data key="d3">0.9</data></edge>'
+        '<edge source="n1" target="n3"></edge>'
+        "</graph></graphml>"
+    )
+    nodes, edges = import_graphml(spark, xml)
+    n = nodes.select(
+        F.col("entity_id").alias("item_id"), F.lit("node").alias("kind"),
+        F.col("name").alias("a"), F.col("entity_type").alias("b"),
+        F.lit(None).cast("double").alias("conf"))
+    e = edges.select(
+        F.concat("head_id", F.lit("->"), "tail_id").alias("item_id"),
+        F.lit("edge").alias("kind"), F.col("pred").alias("a"),
+        F.lit(None).cast("string").alias("b"), F.col("confidence").alias("conf"))
+    return n.unionByName(e)
+
+
+def q_s5_store_roundtrip(spark, sf_dir):
+    """S5 graph sink/source oracle-certified: write a deterministic graph
+    slice with write_graph, read it back with read_graph, and return the
+    read-back edge rows — any round-trip value/type corruption breaks the
+    hash against the source CTE."""
+    import shutil
+    import tempfile
+
+    from agraph_spark.io import read_graph, write_graph
+
+    nodes, edges = _g(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="s5_store_")
+    try:
+        write_graph(nodes, edges, work)
+        t = read_graph(spark, work)
+        n_nodes = t["nodes"].count()
+        out = t["edges"].select(
+            "head_id", "tail_id", "pred",
+            F.col("confidence").cast("double").alias("confidence"), "source",
+        ).withColumn("n_nodes", F.lit(n_nodes).cast("long")).collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "head_id string, tail_id string, pred string, confidence double, "
+             "source string, n_nodes long")
+
+
+def q_mm_features(spark, sf_dir):
+    """Multimodal decode + pooled features oracle-certified end-to-end:
+    deterministic P5 (netpbm grayscale) blobs built per doc_id, decoded by
+    the REAL _decode_ppm parser inside the batched mapInPandas kernel,
+    mean-pooled to 16 dims — the oracle recomputes the pooled means from
+    the pixel formula directly, so any decode/pooling bug breaks the hash
+    (float32 kernel vs float64 SQL absorbed by round-to-4)."""
+    from agraph_spark.operators.multimodal import extract_media_features
+
+    rows = []
+    for doc_id in range(40):
+        pixels = bytes((doc_id * 7 + i * 13) % 256 for i in range(64))
+        rows.append((f"m{doc_id}", bytearray(b"P5\n8 8\n255\n" + pixels)))
+    media = spark.createDataFrame(rows, "media_id string, content binary")
+    feats = extract_media_features(media, out_dim=16)
+    return feats.select(
+        "media_id", "n_bytes",
+        F.posexplode("feature").alias("dim", "v"),
+    ).select("media_id", "n_bytes", "dim",
+             F.round(F.col("v").cast("double"), 4).alias("v"))
+
+
 def q_v_topk(spark, sf_dir):
     """V4 brute-force cosine top-k (the ANN baseline)."""
     emb = _emb(spark, sf_dir)
@@ -1508,6 +1590,9 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "v1_render": q_v1_render,
         "s7_exports": q_s7_exports,
         "f6_stream_merge": q_f6_stream_merge,
+        "s4_graphml_import": q_s4_graphml_import,
+        "s5_store_roundtrip": q_s5_store_roundtrip,
+        "mm_features": q_mm_features,
         # --- flagship re-certifications filling the window to 50 ---
         "g_components": q_g_components,
         "g_cycles": q_g_cycles,
@@ -2386,6 +2471,30 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             QUALIFY row_number() OVER (PARTITION BY namespace
                                        ORDER BY raw DESC, item_id ASC) <= 5""",
+        "s4_graphml_import": r"""
+            SELECT * FROM (VALUES
+              ('n1', 'node', 'Acme & Sons <Ltd>', 'org', NULL::DOUBLE),
+              ('n2', 'node', 'Bob', 'person', NULL),
+              ('n3', 'node', '', 'unknown', NULL),
+              ('n2->n1', 'edge', 'works_for', NULL::VARCHAR, 0.9),
+              ('n1->n3', 'edge', 'related_to', NULL, 0.0)
+            ) AS t(item_id, kind, a, b, conf)""",
+        "s5_store_roundtrip": _GC + """
+            SELECT head_id, tail_id, pred, confidence::DOUBLE AS confidence,
+                   source, (SELECT count(*) FROM nodes)::BIGINT AS n_nodes
+            FROM edges""",
+        "mm_features": r"""
+            WITH ids AS (SELECT unnest(generate_series(0, 39)) AS doc),
+            dims AS (SELECT unnest(generate_series(0, 15)) AS dim),
+            js AS (SELECT unnest(generate_series(0, 3)) AS j),
+            px AS (
+              SELECT doc, dim,
+                     avg(((doc * 7 + (dim * 4 + j) * 13) % 256) / 255.0) AS m
+              FROM ids, dims, js GROUP BY doc, dim
+            )
+            SELECT 'm' || doc::VARCHAR AS media_id, 75::INT AS n_bytes,
+                   dim::INT AS dim, round(m, 4)::DOUBLE AS v
+            FROM px""",
         "v1_render": r"""
             WITH d AS (SELECT doc_id AS k, text FROM documents),
             ents AS (
