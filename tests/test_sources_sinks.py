@@ -270,6 +270,20 @@ def test_decode_image_real_formats(spark):
     assert feats["m2"].n_bytes == len(bmp) and len(feats["m2"].feature) == 4
 
 
+def test_entry_graph_store_equals_direct_build(spark):
+    """__spark_entry__._g (bucketed-store path, round 4) must return the
+    exact row set build_graph returns — the store is a cache, never a
+    semantic change."""
+    import __spark_entry__ as E
+    from agraph_spark.tpch_graph import build_graph
+
+    sf = "/root/testdata/sf0.001"
+    n_direct, e_direct = build_graph(spark, sf)
+    n_store, e_store = E._g(spark, sf)
+    assert {tuple(r) for r in n_store.collect()} == {tuple(r) for r in n_direct.collect()}
+    assert {tuple(r) for r in e_store.collect()} == {tuple(r) for r in e_direct.collect()}
+
+
 def test_bucketed_graph_store_joins_without_shuffle(spark, tmp_path):
     """write_graph_bucketed co-locates nodes(entity_id) and edges(head_id):
     an entity-keyed equi-join over the bucketed tables plans with NO
