@@ -81,11 +81,30 @@ def write_graph_bucketed(
     spark = nodes.sparkSession
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
 
+    def _drop_stale_location(table: str) -> None:
+        # A managed table's directory can outlive its catalog entry (the
+        # default in-memory catalog forgets tables at session end, the
+        # warehouse dir does not) — saveAsTable then fails with
+        # LOCATION_ALREADY_EXISTS forever after. Remove the orphan dir via
+        # the Hadoop FS API (works for HDFS/S3 warehouses too).
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        jvm = spark._jvm
+        hp = jvm.org.apache.hadoop.fs.Path(f"{wh}/{db}.db/{table}")
+        fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(hp, True)
+
     def _write(df: DataFrame, table: str, key: str) -> None:
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{table}")
         w = df.write.mode("overwrite").bucketBy(n_buckets, key).sortBy(key)
         if location is not None:
             w = w.option("path", os.path.join(location, table))
-        w.saveAsTable(f"{db}.{table}")
+        try:
+            w.saveAsTable(f"{db}.{table}")
+        except Exception as e:
+            if "LOCATION_ALREADY_EXISTS" not in str(e):
+                raise
+            _drop_stale_location(table)
+            w.saveAsTable(f"{db}.{table}")
 
     _write(nodes, "nodes", "entity_id")
     _write(edges, "edges", "head_id")

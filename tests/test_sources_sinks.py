@@ -280,6 +280,11 @@ def test_entry_graph_store_equals_direct_build(spark):
     sf = "/root/testdata/sf0.001"
     n_direct, e_direct = build_graph(spark, sf)
     n_store, e_store = E._g(spark, sf)
+    # the store must actually serve (catches the stale-LOCATION silent
+    # fallback: a managed-table dir surviving a dead session's catalog)
+    db = E._graph_db_name(sf)
+    assert spark.catalog.tableExists(f"{db}.nodes")
+    assert db in n_store._jdf.queryExecution().analyzed().toString()
     assert {tuple(r) for r in n_store.collect()} == {tuple(r) for r in n_direct.collect()}
     assert {tuple(r) for r in e_store.collect()} == {tuple(r) for r in e_direct.collect()}
 
