@@ -1127,6 +1127,9 @@ def q_s5_store_roundtrip(spark, sf_dir):
         write_graph(nodes, edges, work)
         t = read_graph(spark, work)
         n_nodes = t["nodes"].count()
+        # collect before the temp store is deleted (the returned frame must
+        # not reference removed files); bounded — the gate runs at sf0.01
+        # and the TPC-H graph's edge count is ~2k there
         out = t["edges"].select(
             "head_id", "tail_id", "pred",
             F.col("confidence").cast("double").alias("confidence"), "source",
