@@ -116,13 +116,25 @@ def _g(spark, sf_dir):
     key = (id(spark.sparkContext), db)
     try:
         if key not in _GRAPH_STORE_READY:
-            if not spark.catalog.tableExists(f"{db}.nodes"):
+            # Require BOTH tables before skipping the rebuild: a session
+            # that died between the nodes and edges writes would otherwise
+            # leave a half-store that every later session "sees" as ready,
+            # then KeyErrors into the silent fallback forever (ADVICE r4).
+            if not (spark.catalog.tableExists(f"{db}.nodes")
+                    and spark.catalog.tableExists(f"{db}.edges")):
                 nodes, edges = build_graph(spark, sf_dir)
                 write_graph_bucketed(nodes, edges, db, n_buckets=16)
             _GRAPH_STORE_READY.add(key)
         t = read_graph_bucketed(spark, db)
         return t["nodes"], t["edges"]
     except Exception:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "_g(%s): bucketed graph store unavailable, falling back to "
+            "direct build (g_* joins will shuffle)", db, exc_info=True,
+        )
+        _GRAPH_STORE_READY.discard(key)
         return build_graph(spark, sf_dir)
 
 
@@ -1751,13 +1763,13 @@ def oracle_sql() -> dict[str, str]:
             ),
             top_e AS (
               SELECT string_agg(entity_type || '=' || cnt, ', ' ORDER BY cnt DESC, entity_type ASC) AS line
-              FROM (SELECT entity_type, count(*)::BIGINT AS cnt FROM nodes
-                    GROUP BY entity_type ORDER BY cnt DESC, entity_type ASC LIMIT 5)
+              FROM (SELECT coalesce(entity_type, '(null)') AS entity_type, count(*)::BIGINT AS cnt FROM nodes
+                    GROUP BY 1 ORDER BY cnt DESC, entity_type ASC LIMIT 5)
             ),
             top_p AS (
               SELECT string_agg(pred || '=' || cnt, ', ' ORDER BY cnt DESC, pred ASC) AS line
-              FROM (SELECT pred, count(*)::BIGINT AS cnt FROM edges
-                    GROUP BY pred ORDER BY cnt DESC, pred ASC LIMIT 5)
+              FROM (SELECT coalesce(pred, '(null)') AS pred, count(*)::BIGINT AS cnt FROM edges
+                    GROUP BY 1 ORDER BY cnt DESC, pred ASC LIMIT 5)
             )
             SELECT 0::INT AS line_no, 'Knowledge Graph Summary' AS line
             UNION ALL SELECT 1, '  entities: ' || n FROM stats

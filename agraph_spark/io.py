@@ -263,6 +263,14 @@ def read_documents(
         if with_errors:
             return out
         if skip_corrupt and log_quarantined:
+            # Pay the binaryFile scan + parse kernel ONCE: track() the
+            # parsed frame so the audit count materializes the cache and
+            # the returned frame reads from it (the r4 default re-ran the
+            # whole scan just to produce this log line). The cache is
+            # released by the session owner's release_caches sweep.
+            from agraph_spark import caching
+
+            out = caching.track(out)
             n_bad = out.agg(F.count("parse_error")).first()[0]
             if n_bad:
                 logging.getLogger(__name__).warning(

@@ -142,9 +142,11 @@ def all_paths(
     start_id: str,
     end_id: str,
     max_depth: int = 3,
+    *,
     max_paths_per_pivot: int | None = 100_000,
     log_dropped: bool = True,
     checkpoint_dir: str | None = None,
+    stop_at_first_hit: bool = False,
 ) -> DataFrame:
     """A10 (graph_path_finder.py:105-155): every simple directed path
     start->end up to max_depth, as (path array, depth). Bounded self-join
@@ -155,7 +157,13 @@ def all_paths(
     pivot is capped at ``max_paths_per_pivot`` paths per node — a hub
     within max_depth hops of the start otherwise contributes P×D rows per
     level. The cap's one shallow aggregate both materializes the cut
-    frontier and yields the emptiness break: ONE job per level."""
+    frontier and yields the emptiness break: ONE job per level.
+
+    ``stop_at_first_hit``: return after the first depth where ``end_id``
+    is reached (the reference BFS stops there — utils.py:150-193); the
+    result then holds only minimal-depth paths. Costs one extra shallow
+    aggregate per level (over the already-materialized checkpoint) and
+    saves every level past the hit — shortest_path uses this."""
     from .components import _cap_frontier_pivot, lineage_cutter
 
     adj = edges.select(F.col("head_id").alias("src"), F.col("tail_id").alias("dst")).distinct()
@@ -180,6 +188,15 @@ def all_paths(
             "path", (F.size("path") - 1).alias("depth")
         )
         found = hits if found is None else found.unionByName(hits)
+        if stop_at_first_hit:
+            # One shallow aggregate materializes the cut frontier and
+            # answers both "did we hit?" and "is anything still live?".
+            st = stepped.agg(
+                F.sum(F.when(F.col("node") == end_id, 1).otherwise(0)).alias("nh"),
+                F.count(F.lit(1)).alias("nt"),
+            ).first()
+            if st is None or (st["nh"] or 0) > 0 or st["nt"] == (st["nh"] or 0):
+                return found
         frontier = stepped.where(F.col("node") != end_id)
     return found if found is not None else spark.createDataFrame([], "path array<string>, depth int")
 
@@ -189,6 +206,7 @@ def all_paths_multi(
     start_id: str,
     targets: DataFrame,
     max_depth: int = 3,
+    *,
     max_paths_per_pivot: int | None = 100_000,
     log_dropped: bool = True,
     checkpoint_dir: str | None = None,
@@ -296,9 +314,14 @@ def chunk_similarity(
 def _top5_line(df: DataFrame, key_col: str) -> DataFrame:
     """One-row frame: 'k1=c1, k2=c2, …' over the 5 most frequent key
     values, ties broken ascending on the key (deterministic — a bare
-    desc-count orderBy leaves tie order to the shuffle)."""
+    desc-count orderBy leaves tie order to the shuffle). Null keys are
+    coalesced to '(null)' BEFORE the groupBy: a null key would make the
+    concat yield NULL, which array_join silently drops while the group
+    still burns one of the 5 slots (ADVICE r4) — the oracle SQL coalesces
+    identically."""
     return (
-        df.groupBy(key_col).count()
+        df.select(F.coalesce(F.col(key_col), F.lit("(null)")).alias(key_col))
+        .groupBy(key_col).count()
         .agg(
             F.array_join(
                 F.transform(
@@ -404,11 +427,12 @@ def shortest_path(
 ) -> DataFrame:
     """find_shortest_path (utils.py:150-193): the single BFS-shortest path
     start->end (ties broken lexicographically on the path), as one row
-    (path, depth). Composition of the bounded all-paths expansion — at the
-    first depth where the target appears the frontier stops growing past
-    it, so the scan is the same BFS frontier walk as the reference."""
+    (path, depth). Composition of the bounded all-paths expansion with
+    ``stop_at_first_hit`` — the walk ends at the first depth where the
+    target appears (the reference BFS stops there too), so deep graphs
+    don't pay max_depth levels for a depth-1 answer."""
     found = all_paths(edges, start_id, end_id, max_depth,
-                      checkpoint_dir=checkpoint_dir)
+                      checkpoint_dir=checkpoint_dir, stop_at_first_hit=True)
     return (
         found.orderBy(F.asc("depth"), F.asc(F.concat_ws("->", "path")))
         .limit(1)

@@ -211,3 +211,23 @@ def test_shortest_path(spark):
     assert list(got[0].path) == ["a", "c", "d"] and got[0].depth == 2
     # unreachable -> empty
     assert shortest_path(edges, "d", "a", max_depth=3).count() == 0
+
+
+def test_all_paths_stop_at_first_hit(spark):
+    """VERDICT r4 #4: with stop_at_first_hit the expansion ends at the
+    first depth where the target appears — a target reachable at depth 1
+    AND depth 3 yields only the depth-1 paths (behavioral proof the later
+    levels never ran), while the default keeps expanding and finds both."""
+    edges = spark.createDataFrame(
+        [("a", "z"), ("a", "m"), ("m", "n"), ("n", "z"), ("z", "q")],
+        "head_id string, tail_id string")
+    eager = {(tuple(r.path), r.depth) for r in
+             all_paths(edges, "a", "z", max_depth=4).collect()}
+    assert eager == {(("a", "z"), 1), (("a", "m", "n", "z"), 3)}
+    lazy = {(tuple(r.path), r.depth) for r in
+            all_paths(edges, "a", "z", max_depth=4,
+                      stop_at_first_hit=True).collect()}
+    assert lazy == {(("a", "z"), 1)}
+    # dead-end early break: frontier empties before max_depth
+    assert all_paths(edges, "n", "a", max_depth=4,
+                     stop_at_first_hit=True).count() == 0
