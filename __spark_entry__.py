@@ -1175,6 +1175,32 @@ def q_mm_features(spark, sf_dir):
              F.round(F.col("v").cast("double"), 4).alias("v"))
 
 
+def q_mm_png(spark, sf_dir):
+    """Round 5: the REAL stdlib PNG decoder (zlib inflate + per-scanline
+    unfilter) oracle-certified end-to-end. Same pixel formula as
+    mm_features, but each 8x8 graymap is round-tripped through encode_png
+    with filter_type = doc % 5 — all five PNG filters (None/Sub/Up/
+    Average/Paeth) must invert exactly or the pooled means (and the hash)
+    break. The oracle recomputes the means from the formula; n_bytes is
+    omitted (zlib stream length is not SQL-expressible)."""
+    import numpy as np
+
+    from agraph_spark.operators.multimodal import encode_png, extract_media_features
+
+    rows = []
+    for doc_id in range(40):
+        pixels = np.frombuffer(
+            bytes((doc_id * 7 + i * 13) % 256 for i in range(64)), dtype=np.uint8
+        ).reshape(8, 8)
+        blob = encode_png(pixels, filter_type=doc_id % 5)
+        rows.append((f"m{doc_id}", bytearray(blob)))
+    media = spark.createDataFrame(rows, "media_id string, content binary")
+    feats = extract_media_features(media, out_dim=16)
+    return feats.select(
+        "media_id", F.posexplode("feature").alias("dim", "v"),
+    ).select("media_id", "dim", F.round(F.col("v").cast("double"), 4).alias("v"))
+
+
 def q_v_topk(spark, sf_dir):
     """V4 brute-force cosine top-k (the ANN baseline)."""
     emb = _emb(spark, sf_dir)
@@ -1549,67 +1575,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: _fresh(v) for k, v in _RAW_QUERIES.items()}
 
 
-# Ordering note (round 4): the driver's correctness gate samples the FIRST 50
-# entries of this dict. Rounds 1-3 certified the original first-50 window
-# (CORRECTNESS_r01..r03.json); the 39 queries the driver had never seen
-# (d9_upsert .. tpch_topk_orders in round-3 order) are moved to the front so
-# CORRECTNESS_r04.json certifies them, followed by new round-4 queries, then a
-# handful of flagship re-certifications, then the remaining round-3-certified
-# set (all still covered by the full local replica, tools/check_oracle.py).
+# Ordering note: the driver's correctness gate samples the FIRST 50 entries
+# of this dict, so each round rotates the window to the least-recently
+# certified queries. Round 4 certified the 39 never-sampled queries + its 10
+# additions + g_components (CORRECTNESS_r04.json); round 5 leads with the 49
+# queries OUTSIDE that window (last driver-certified on r1-r3 code — the
+# bucketed-store refactor and cap parametrization touched shared paths since)
+# plus any new round-5 queries. Every entry stays covered by the full local
+# replica (tools/check_oracle.py) regardless of window position.
 _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # --- driver-uncertified until r4 (positions 51-89 in round 3) ---
-        "d9_upsert": q_d9_upsert,
-        "db_schema": q_db_schema,
-        "a14_chunk_sim": q_a14_chunk_sim,
-        "g_hierarchical": q_g_hierarchical,
-        "g_low_confidence": q_g_low_confidence,
-        "g_empty_names": q_g_empty_names,
-        "g_all_paths": q_g_all_paths,
-        "g_paths_multi": q_g_paths_multi,
-        "d6_repoint": q_d6_repoint,
-        "g2_cascade": q_g2_cascade,
-        "d10_merge": q_d10_merge,
-        "g3_links": q_g3_links,
-        "g3_rel_links": q_g3_rel_links,
-        "v5_filtered": q_v5_filtered,
-        "v7_recommend": q_v7_recommend,
-        "d3_alias": q_d3_alias,
-        "f5_setunion": q_f5_setunion,
-        "e4_model": q_e4_model,
-        "e8_model": q_e8_model,
-        "d4_verify": q_d4_verify,
-        "f3_chunks": q_f3_chunks,
-        "d7_chain": q_d7_chain,
-        "v_hybrid": q_v_hybrid,
-        "v10_chat_ctx": q_v10_chat_ctx,
-        "v_topk": q_v_topk,
-        "v8_union_topk": q_v8_union_topk,
-        "d2_weighted_sim": q_d2_weighted_sim,
-        "g_conf_stats": q_g_conf_stats,
-        "g_shortest_path": q_g_shortest_path,
-        "g_pagerank": q_g_pagerank,
-        "ev_sliding": q_ev_sliding,
-        "g_degree_percentiles": q_g_degree_percentiles,
-        "ev_rollup": q_ev_rollup,
-        "f2_relation_filter": q_f2_relation_filter,
-        "v9_expand": q_v9_expand,
-        "kg_chunks_hier": q_kg_chunks_hier,
-        "tpch_q1": q_tpch_q1,
-        "tpch_seg_month": q_tpch_seg_month,
-        "tpch_topk_orders": q_tpch_topk_orders,
-        # --- round-4 additions go here (inside the 50-slot window) ---
-        "v10_chat_ctx_md5": q_v10_chat_ctx_md5,
-        "kg_chunks_simple": q_kg_chunks_simple,
-        "a13_summary": q_a13_summary,
-        "g8_recommendations": q_g8_recommendations,
-        "v1_render": q_v1_render,
-        "s7_exports": q_s7_exports,
-        "f6_stream_merge": q_f6_stream_merge,
-        "s4_graphml_import": q_s4_graphml_import,
-        "s5_store_roundtrip": q_s5_store_roundtrip,
-        "mm_features": q_mm_features,
-        # --- flagship re-certifications filling the window to 50 ---
-        "g_components": q_g_components,
+        # --- round-5 additions (never driver-certified) go FIRST ---
+        "mm_png": q_mm_png,
+        # --- r1-r3-certified set not sampled in r4: lead the r5 window so
+        # --- CORRECTNESS_r05 re-certifies them on end-state code (VERDICT r4 #1)
         "g_cycles": q_g_cycles,
         "g_bfs": q_g_bfs,
         "dd_minhash_md5": q_dd_minhash_md5,
@@ -1620,7 +1598,6 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "kg_cooccur": q_kg_cooccur,
         "dd_exact": q_dd_exact,
         "v_cosine": q_v_cosine,
-        # --- round-3-certified remainder (past the driver window; local gate) ---
         "g_degree_summary": q_g_degree_summary,
         "g_type_dist": q_g_type_dist,
         "g_rel_type_dist": q_g_rel_type_dist,
@@ -1660,6 +1637,57 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "kg_search_multi": q_kg_search_multi,
         "kg_search_multi_md5": q_kg_search_multi_md5,
         "f1_entity_filter": q_f1_entity_filter,
+        # --- r4-certified set (past the 50-slot window; full local gate covers) ---
+        "d9_upsert": q_d9_upsert,
+        "db_schema": q_db_schema,
+        "a14_chunk_sim": q_a14_chunk_sim,
+        "g_hierarchical": q_g_hierarchical,
+        "g_low_confidence": q_g_low_confidence,
+        "g_empty_names": q_g_empty_names,
+        "g_all_paths": q_g_all_paths,
+        "g_paths_multi": q_g_paths_multi,
+        "d6_repoint": q_d6_repoint,
+        "g2_cascade": q_g2_cascade,
+        "d10_merge": q_d10_merge,
+        "g3_links": q_g3_links,
+        "g3_rel_links": q_g3_rel_links,
+        "v5_filtered": q_v5_filtered,
+        "v7_recommend": q_v7_recommend,
+        "d3_alias": q_d3_alias,
+        "f5_setunion": q_f5_setunion,
+        "e4_model": q_e4_model,
+        "e8_model": q_e8_model,
+        "d4_verify": q_d4_verify,
+        "f3_chunks": q_f3_chunks,
+        "d7_chain": q_d7_chain,
+        "v_hybrid": q_v_hybrid,
+        "v10_chat_ctx": q_v10_chat_ctx,
+        "v_topk": q_v_topk,
+        "v8_union_topk": q_v8_union_topk,
+        "d2_weighted_sim": q_d2_weighted_sim,
+        "g_conf_stats": q_g_conf_stats,
+        "g_shortest_path": q_g_shortest_path,
+        "g_pagerank": q_g_pagerank,
+        "ev_sliding": q_ev_sliding,
+        "g_degree_percentiles": q_g_degree_percentiles,
+        "ev_rollup": q_ev_rollup,
+        "f2_relation_filter": q_f2_relation_filter,
+        "v9_expand": q_v9_expand,
+        "kg_chunks_hier": q_kg_chunks_hier,
+        "tpch_q1": q_tpch_q1,
+        "tpch_seg_month": q_tpch_seg_month,
+        "tpch_topk_orders": q_tpch_topk_orders,
+        "v10_chat_ctx_md5": q_v10_chat_ctx_md5,
+        "kg_chunks_simple": q_kg_chunks_simple,
+        "a13_summary": q_a13_summary,
+        "g8_recommendations": q_g8_recommendations,
+        "v1_render": q_v1_render,
+        "s7_exports": q_s7_exports,
+        "f6_stream_merge": q_f6_stream_merge,
+        "s4_graphml_import": q_s4_graphml_import,
+        "s5_store_roundtrip": q_s5_store_roundtrip,
+        "mm_features": q_mm_features,
+        "g_components": q_g_components,
 }
 
 
@@ -2508,6 +2536,18 @@ def oracle_sql() -> dict[str, str]:
               FROM ids, dims, js GROUP BY doc, dim
             )
             SELECT 'm' || doc::VARCHAR AS media_id, 75::INT AS n_bytes,
+                   dim::INT AS dim, round(m, 4)::DOUBLE AS v
+            FROM px""",
+        "mm_png": r"""
+            WITH ids AS (SELECT unnest(generate_series(0, 39)) AS doc),
+            dims AS (SELECT unnest(generate_series(0, 15)) AS dim),
+            js AS (SELECT unnest(generate_series(0, 3)) AS j),
+            px AS (
+              SELECT doc, dim,
+                     avg(((doc * 7 + (dim * 4 + j) * 13) % 256) / 255.0) AS m
+              FROM ids, dims, js GROUP BY doc, dim
+            )
+            SELECT 'm' || doc::VARCHAR AS media_id,
                    dim::INT AS dim, round(m, 4)::DOUBLE AS v
             FROM px""",
         "v1_render": r"""

@@ -256,10 +256,14 @@ def test_decode_image_real_formats(spark):
     assert np.allclose(b_img[0, 1], [0, 1, 0])   # top-right green
     assert np.allclose(b_img[1, 0], [0, 0, 1])   # bottom-left blue
 
-    # unknown magic still routes to the injectable-decoder contract
+    # PNG is decoded for real now; a signature with structural damage is a
+    # parse error (quarantined upstream), not a missing-codec stub
     import pytest as _pt
-    with _pt.raises(NotImplementedError):
+    with _pt.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n....")
+    # JPEG remains behind the injectable-decoder contract
+    with _pt.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0jpegish")
 
     # end-to-end: real decode inside the mapInPandas kernel
     media = spark.createDataFrame(
@@ -605,3 +609,90 @@ def test_parser_fuzz_no_hang_or_weird_errors():
     for raw in [b"<< /Filter /FlateDecode >> stream\nnotzlib\nendstream",
                 b"BT (unterminated", b"%PDF-1.4\n" + b"\x00" * 100]:
         assert isinstance(_pdf_to_text(raw), str)
+
+
+def test_png_codec_roundtrip_and_quarantine(spark):
+    """Stdlib PNG decode (VERDICT r4 #2): encode->decode is bit-exact for
+    gray and RGB across EVERY filter type (None/Sub/Up/Average/Paeth),
+    hand-built palette / gray+alpha / RGBA images decode correctly,
+    16-bit and interlaced raise NotImplementedError, structural damage
+    raises ValueError, and corrupt blobs ride the feature kernel's
+    quarantine column instead of aborting the job."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from agraph_spark.operators.multimodal import (
+        _decode_png,
+        decode_image,
+        encode_png,
+        extract_media_features,
+    )
+
+    rng = np.random.default_rng(31337)
+    for shape in [(8, 8), (5, 7), (8, 8, 3), (3, 11, 3)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for f in range(5):
+            dec = (_decode_png(encode_png(img, filter_type=f)) * 255.0 + 0.5).astype(np.uint8)
+            assert np.array_equal(dec, img), (shape, f)
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(
+            ">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+
+    # hand-built palette PNG: PLTE-mapped indices come back as RGB
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    raw = b"\x00" + bytes([0, 1, 2]) + b"\x00" + bytes([2, 1, 0])
+    blob = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+            + chunk(b"PLTE", pal) + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+    d = _decode_png(blob)
+    assert d.shape == (2, 3, 3) and np.allclose(d[0, 0], [1, 0, 0]) and np.allclose(d[1, 0], [0, 0, 1])
+
+    # gray+alpha (ctype 4) and RGBA (ctype 6)
+    for ct, ch in [(4, 2), (6, 4)]:
+        px = rng.integers(0, 256, size=(2, 2, ch), dtype=np.uint8)
+        raw = b"".join(b"\x00" + px[y].tobytes() for y in range(2))
+        blob = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, ct, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+        assert np.array_equal((_decode_png(blob) * 255 + 0.5).astype(np.uint8), px)
+
+    # honest stubs: 16-bit depth and Adam7 interlace
+    for hdr in [struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0),
+                struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)]:
+        blob = (sig + chunk(b"IHDR", hdr)
+                + chunk(b"IDAT", zlib.compress(b"\x00" * 12)) + chunk(b"IEND", b""))
+        with pytest.raises(NotImplementedError):
+            _decode_png(blob)
+
+    # fuzz: truncations and bit flips of a valid blob fail CLEANLY
+    good = encode_png(rng.integers(0, 256, size=(6, 6, 3), dtype=np.uint8))
+    bad_blobs = [good[:n] for n in (7, 12, 20, 33, len(good) - 5)]
+    for i in range(10):
+        b = bytearray(good)
+        b[8 + (i * 37) % (len(good) - 8)] ^= 0xFF
+        bad_blobs.append(bytes(b))
+    ok = 0
+    for b in bad_blobs:
+        try:
+            _decode_png(bytes(b))
+            ok += 1  # a flip that misses load-bearing bytes may still parse
+        except (ValueError, NotImplementedError):
+            pass
+    assert ok < len(bad_blobs)  # at least the truncations must reject
+
+    # quarantine path end-to-end: corrupt blobs -> decode_error rows, job lives
+    media = spark.createDataFrame(
+        [("ok", good), ("trunc", good[:20]), ("flip", bytes(bad_blobs[-1]))],
+        "media_id string, content binary")
+    rows = {r.media_id: r for r in extract_media_features(media, out_dim=4).collect()}
+    assert rows["ok"].decode_error is None and len(rows["ok"].feature) == 4
+    assert rows["trunc"].feature is None and "PNG" in rows["trunc"].decode_error
+    # fail-fast contract still available
+    with pytest.raises(Exception):
+        extract_media_features(media, out_dim=4, skip_corrupt=False).collect()
+    # dispatch: decode_image routes the PNG signature to the real decoder
+    assert decode_image(good).shape == (6, 6, 3)
