@@ -72,12 +72,12 @@ def main() -> None:
     tdf = transcripts_df(spark, n_convs=n_convs, seed=42).persist()
     n_turns = tdf.count()
 
+    build_box = {}
+
     def kg_build():
         build = build_kg(tdf)
-        n = build.triples.count()
-        build.documents.unpersist()
-        build.entities.unpersist()
-        return n
+        build_box["build"] = build
+        return build.triples.count()
 
     n_triples = timed("kg_build_transcripts", kg_build)
     extra["n_convs"] = n_convs
@@ -85,6 +85,21 @@ def main() -> None:
     extra["n_triples"] = n_triples
     extra["triples_per_sec"] = round(n_triples / timings["kg_build_transcripts"], 1)
     extra["turns_per_sec"] = round(n_turns / timings["kg_build_transcripts"], 1)
+
+    # entity-linking chain (D3 blocking -> D4 verify -> D5 components) over
+    # the same corpus: the shuffle-heaviest production operator finally gets
+    # a round-over-round bench number (VERDICT r4 #3; PLANS.md measured
+    # 10.8 s one-off at sf0.1). Reuses the build's persisted mention table.
+    from agraph_spark.materialize import build_nodes  # noqa: E402
+    from agraph_spark.operators.linking import link_entities  # noqa: E402
+
+    def kg_link():
+        mapping = link_entities(build_nodes(build_box["build"].entities))
+        return mapping.count()
+
+    extra["n_link_mappings"] = timed("kg_link_entities", kg_link)
+    build_box["build"].documents.unpersist()
+    build_box["build"].entities.unpersist()
 
     # document-corpus extraction (driver's documents table)
     qs = entrymod.queries()
