@@ -959,22 +959,11 @@ def q_v10_chat_ctx_md5(spark, sf_dir):
     )
 
 
-def q_f6_stream_merge(spark, sf_dir):
-    """F6/D8 driver-visible: a real readStream → foreachBatch(batch
-    pipeline) → bucket-MERGE loop over transcripts synthesized
-    deterministically from the documents table (50 docs → 3 turns each),
-    drained in two trigger-once passes with a re-sent conversation to
-    prove idempotency. Rows-only by declared necessity — the extraction
-    kernel is the same non-SQL regex engine as kg_triples_docs; the
-    stream-equals-batch property is pytest-certified
-    (test_merge_stream_equals_batch_and_is_idempotent)."""
-    import shutil
-    import tempfile
-
-    from agraph_spark.streaming.incremental import start_transcript_merge_stream
-
+def _f6_turns(spark, sf_dir):
+    """Deterministic transcript synthesis for the F6 stream queries: 50
+    docs -> 3 turns each, turn text = first 30 space-separated tokens of a
+    200-char slice (every expression SQL-twinnable)."""
     d = _docs(spark, sf_dir).where(F.col("doc_id") < 50)
-    third = (F.length("text") / 3).cast("int")
     turns = None
     for i in range(3):
         t = d.select(
@@ -986,29 +975,85 @@ def q_f6_stream_merge(spark, sf_dir):
             F.lit(None).cast("timestamp").alias("ts"),
         )
         turns = t if turns is None else turns.unionByName(t)
+    return turns
+
+
+def _f6_run_stream(spark, turns, triples_fn=None):
+    """Two trigger-once drains with a re-sent conversation (idempotent
+    MERGE proof); returns the final merged store as a list of Rows."""
+    import shutil
+    import tempfile
+
+    from agraph_spark.streaming.incremental import start_transcript_merge_stream
 
     work = tempfile.mkdtemp(prefix="f6_stream_")
     try:
         inp = os.path.join(work, "in")
         out = os.path.join(work, "out")
         turns.where(F.col("conv_id") < "c25").write.mode("append").parquet(inp)
-        start_transcript_merge_stream(spark, inp, out, n_buckets=8).awaitTermination(300)
+        start_transcript_merge_stream(
+            spark, inp, out, n_buckets=8, triples_fn=triples_fn
+        ).awaitTermination(300)
         # second drain: the rest PLUS a re-send of c1 (idempotent MERGE)
         turns.where((F.col("conv_id") >= "c25") | (F.col("conv_id") == "c1")) \
             .write.mode("append").parquet(inp)
-        start_transcript_merge_stream(spark, inp, out, n_buckets=8).awaitTermination(300)
+        start_transcript_merge_stream(
+            spark, inp, out, n_buckets=8, triples_fn=triples_fn
+        ).awaitTermination(300)
         stored = spark.read.parquet(os.path.join(out, "triples_store"))
-        result = stored.groupBy("pred").agg(
-            F.count("*").alias("n_triples"),
-            F.count_distinct("conv_id").alias("n_convs"),
-            F.count_distinct("subj").alias("n_subjects"),
-        ).orderBy("pred").collect()
+        return stored.drop("bucket").collect()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def q_f6_stream_merge(spark, sf_dir):
+    """F6/D8 driver-visible: a real readStream → foreachBatch(batch
+    pipeline) → bucket-MERGE loop over transcripts synthesized
+    deterministically from the documents table (50 docs → 3 turns each),
+    drained in two trigger-once passes with a re-sent conversation to
+    prove idempotency. Rows-only by declared necessity — the extraction
+    kernel is the same non-SQL regex engine as kg_triples_docs; the
+    stream-equals-batch property is pytest-certified
+    (test_merge_stream_equals_batch_and_is_idempotent)."""
+    rows = _f6_run_stream(spark, _f6_turns(spark, sf_dir))
+    agg: dict[str, list] = {}
+    for r in rows:
+        a = agg.setdefault(r.pred, [0, set(), set()])
+        a[0] += 1
+        a[1].add(r.conv_id)
+        a[2].add(r.subj)
     return spark.createDataFrame(
-        [(r.pred, r.n_triples, r.n_convs, r.n_subjects) for r in result],
+        sorted((p, n, len(cs), len(ss)) for p, (n, cs, ss) in agg.items()),
         "pred string, n_triples long, n_convs long, n_subjects long",
     )
+
+
+def q_f6_stream_merge_md5(spark, sf_dir):
+    """Round 5 (VERDICT r4 #5): the streaming MERGE machinery
+    oracle-certified. Same readStream → foreachBatch → bucket-MERGE loop,
+    two drains, re-sent c1 — but the per-batch extraction is an
+    SQL-expressible transform (one triple per turn, obj = md5(turn
+    text)), so DuckDB can recompute the expected FINAL merged state from
+    the documents table with batch semantics. Any machinery bug —
+    dropped bucket on overwrite, double-applied batch, non-idempotent
+    re-send (c1 would duplicate), missed drain — breaks the hash. The
+    regex-pipeline variant (f6_stream_merge) stays rows-only as
+    declared; lineage is excluded here because batch-id assignment
+    depends on file-trigger splits."""
+    def toy_triples(batch):
+        return batch.select(
+            "conv_id",
+            F.col("conv_id").alias("subj"),
+            F.concat(F.lit("p"), F.col("turn_idx").cast("string")).alias("pred"),
+            F.md5("text").alias("obj"),
+            F.round(F.lit(0.5) + F.col("turn_idx") * 0.1, 1).alias("conf"),
+        )
+
+    rows = _f6_run_stream(spark, _f6_turns(spark, sf_dir), triples_fn=toy_triples)
+    return spark.createDataFrame(
+        [(r.conv_id, r.subj, r.pred, r.obj, r.conf) for r in rows],
+        "conv_id string, subj string, pred string, obj string, conf double",
+    ).select("conv_id", "subj", "pred", "obj", F.round("conf", 1).alias("conf"))
 
 
 def q_v1_render(spark, sf_dir):
@@ -1586,6 +1631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- round-5 additions (never driver-certified) go FIRST ---
         "mm_png": q_mm_png,
+        "f6_stream_merge_md5": q_f6_stream_merge_md5,
         # --- r1-r3-certified set not sampled in r4: lead the r5 window so
         # --- CORRECTNESS_r05 re-certifies them on end-state code (VERDICT r4 #1)
         "g_cycles": q_g_cycles,
@@ -2538,6 +2584,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'm' || doc::VARCHAR AS media_id, 75::INT AS n_bytes,
                    dim::INT AS dim, round(m, 4)::DOUBLE AS v
             FROM px""",
+        "f6_stream_merge_md5": r"""
+            WITH turns AS (
+              SELECT 'c' || doc_id::VARCHAR AS conv_id, i.i AS turn_idx,
+                     array_to_string(
+                       list_slice(string_split(
+                         substring(text, i.i * 200 + 1, 200), ' '), 1, 30),
+                       ' ') AS t
+              FROM documents, (SELECT unnest(generate_series(0, 2)) AS i) i
+              WHERE doc_id < 50
+            )
+            SELECT conv_id, conv_id AS subj,
+                   'p' || turn_idx::VARCHAR AS pred, md5(t) AS obj,
+                   round(0.5 + turn_idx * 0.1, 1)::DOUBLE AS conf
+            FROM turns""",
         "mm_png": r"""
             WITH ids AS (SELECT unnest(generate_series(0, 39)) AS doc),
             dims AS (SELECT unnest(generate_series(0, 15)) AS dim),

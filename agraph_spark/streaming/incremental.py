@@ -106,13 +106,29 @@ def merge_triples_into_store(
 
 
 def process_microbatch_merge(
-    batch_df: DataFrame, batch_id: int, store_dir: str, n_buckets: int = 64
+    batch_df: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    n_buckets: int = 64,
+    triples_fn=None,
 ) -> None:
     """foreachBatch body with write-time MERGE: batch pipeline on the
     micro-batch, then upsert into the bucket-partitioned store — the
     reference's StreamingLLMGraphBuilder update loop
-    (llm_builders.py:1406-1533) with Spark's exactly-once foreachBatch."""
+    (llm_builders.py:1406-1533) with Spark's exactly-once foreachBatch.
+
+    ``triples_fn`` (transcripts batch -> (conv_id, subj, pred, obj, conf)
+    frame) swaps the extraction step while keeping the whole MERGE
+    machinery; the default is the full batch pipeline. An SQL-expressible
+    triples_fn makes the stream's final state oracle-certifiable
+    (f6_stream_merge_md5) — the regex pipeline itself is not."""
     if batch_df.isEmpty():
+        return
+    if triples_fn is not None:
+        new = triples_fn(batch_df).withColumn(
+            "lineage", F.lit(f"stream_batch={batch_id}")
+        )
+        merge_triples_into_store(batch_df.sparkSession, new, store_dir, n_buckets)
         return
     build = build_kg(batch_df, cache_documents=True)
     new = build.triples.withColumn("lineage", F.lit(f"stream_batch={batch_id}"))
@@ -127,10 +143,13 @@ def start_transcript_merge_stream(
     out_dir: str,
     trigger_once: bool = True,
     n_buckets: int = 64,
+    triples_fn=None,
 ):
     """readStream -> foreachBatch(batch pipeline) -> MERGE loop. The store
     at out_dir/triples_store is directly readable (no read-time dedup
-    needed — merges keep it unique on the content key)."""
+    needed — merges keep it unique on the content key). ``triples_fn``
+    forwards to process_microbatch_merge (swap the extraction step,
+    keep the MERGE machinery)."""
     stream = (
         spark.readStream.schema(TRANSCRIPTS)
         .option("maxFilesPerTrigger", 4)
@@ -139,7 +158,9 @@ def start_transcript_merge_stream(
     store = os.path.join(out_dir, "triples_store")
     writer = (
         stream.writeStream.foreachBatch(
-            lambda df, bid: process_microbatch_merge(df, bid, store, n_buckets)
+            lambda df, bid: process_microbatch_merge(
+                df, bid, store, n_buckets, triples_fn=triples_fn
+            )
         )
         .option("checkpointLocation", os.path.join(out_dir, "_merge_checkpoint"))
     )
