@@ -162,22 +162,50 @@ def export_graphml(nodes: DataFrame, edges: DataFrame, max_rows: int = 100_000) 
     return "\n".join(parts)
 
 
-def import_graphml(spark: SparkSession, xml_text: str) -> tuple[DataFrame, DataFrame]:
-    """S4: GraphML -> (nodes, edges) DataFrames (driver-side ElementTree
-    parse; GraphML files are interchange-scale)."""
+def _graphml_root(xml_text: str):
+    """Shared guarded parse for the GraphML importers: malformed XML
+    becomes a clean ValueError (callers quarantine or surface it — a raw
+    ParseError used to propagate), and DTD/entity declarations are
+    rejected outright (xml.etree expands internal entities, so an
+    entity-bomb interchange file could otherwise exhaust driver memory;
+    legitimate GraphML never carries a DTD)."""
+    import re
     import xml.etree.ElementTree as ET
 
+    if re.search(r"<!(?:DOCTYPE|ENTITY)", xml_text):
+        raise ValueError("malformed GraphML: DTD/entity declarations not allowed")
+    try:
+        return ET.fromstring(xml_text)
+    except ET.ParseError as e:
+        raise ValueError(f"malformed GraphML: {e}") from None
+
+
+def _graphml_float(s, default: float = 0.0) -> float:
+    """Tolerant numeric attribute: a malformed weight in one element must
+    not abort the whole import."""
+    try:
+        return float(s)
+    except (TypeError, ValueError):
+        return default
+
+
+def import_graphml(spark: SparkSession, xml_text: str) -> tuple[DataFrame, DataFrame]:
+    """S4: GraphML -> (nodes, edges) DataFrames (driver-side ElementTree
+    parse; GraphML files are interchange-scale). Malformed input raises
+    ValueError (see _graphml_root); nodes without ids are skipped."""
     ns = {"g": "http://graphml.graphdrawing.org/xmlns"}
-    root = ET.fromstring(xml_text)
+    root = _graphml_root(xml_text)
     nodes, edges = [], []
     for nd in root.iterfind(".//g:node", ns):
+        if nd.get("id") is None:
+            continue
         data = {d.get("key"): (d.text or "") for d in nd.iterfind("g:data", ns)}
         nodes.append((nd.get("id"), data.get("d0", ""), data.get("d1", "unknown")))
     for ed in root.iterfind(".//g:edge", ns):
         data = {d.get("key"): (d.text or "") for d in ed.iterfind("g:data", ns)}
         edges.append(
             (ed.get("source"), ed.get("target"), data.get("d2", "related_to"),
-             float(data.get("d3", "0") or 0))
+             _graphml_float(data.get("d3", "0") or 0))
         )
     ndf = spark.createDataFrame(nodes, "entity_id string, name string, entity_type string")
     edf = spark.createDataFrame(edges, "head_id string, tail_id string, pred string, confidence double")
@@ -773,11 +801,9 @@ def import_lightrag_graphml(spark: SparkSession, xml_text: str) -> tuple[DataFra
     to the node id, unknown entity types map to 'unknown', edges are
     RELATED_TO with weight as confidence (default 1.0), and edges whose
     endpoints are missing are dropped (the reference returns None for
-    them)."""
-    import xml.etree.ElementTree as ET
-
+    them). Malformed input raises ValueError (see _graphml_root)."""
     ns = {"g": "http://graphml.graphdrawing.org/xmlns"}
-    root = ET.fromstring(xml_text)
+    root = _graphml_root(xml_text)
     nodes, edges, node_ids = [], [], set()
     for nd in root.iterfind(".//g:node", ns):
         nid = nd.get("id")
@@ -798,7 +824,7 @@ def import_lightrag_graphml(spark: SparkSession, xml_text: str) -> tuple[DataFra
             continue
         d = {x.get("key"): x.text for x in ed.iterfind("g:data", ns) if x.text}
         edges.append((
-            src, dst, "related_to", float(d.get("d6", 1.0)), "lightrag",
+            src, dst, "related_to", _graphml_float(d.get("d6", 1.0), 1.0), "lightrag",
             d.get("d7", ""), d.get("d8", ""), d.get("d9", ""),
             d.get("d10", ""), d.get("d11", ""),
         ))

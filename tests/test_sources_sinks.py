@@ -696,3 +696,58 @@ def test_png_codec_roundtrip_and_quarantine(spark):
         extract_media_features(media, out_dim=4, skip_corrupt=False).collect()
     # dispatch: decode_image routes the PNG signature to the real decoder
     assert decode_image(good).shape == (6, 6, 3)
+
+
+def test_graphml_import_fuzz(spark):
+    """VERDICT r4 #8: the GraphML importers fail CLEANLY on malformed
+    input (ValueError, not a raw ParseError), reject entity-bomb DTDs
+    fast, tolerate malformed numeric attributes, and skip id-less nodes
+    — matching the quarantine contract of the other binary sources."""
+    import time
+
+    from agraph_spark.io import export_graphml, import_graphml, import_lightrag_graphml
+
+    nodes = spark.createDataFrame(
+        [("e1", "Acme", "organization", 0.9)],
+        "entity_id string, name string, entity_type string, confidence double")
+    edges = spark.createDataFrame(
+        [("x1", "e1", "e1", "related_to", 0.7)],
+        "edge_id string, head_id string, tail_id string, pred string, confidence double")
+    good = export_graphml(nodes, edges)
+
+    bad_inputs = [
+        "", "not xml at all", good[: len(good) // 2],           # truncations
+        good.replace("</graphml>", ""),                          # unclosed root
+        good.replace("<node", "<node <<<", 1),                   # attr garbage
+        "<graphml><node id='a'>" + "\x00" + "</node></graphml>", # control char
+    ]
+    for bad in bad_inputs:
+        for importer in (import_graphml, import_lightrag_graphml):
+            with pytest.raises(ValueError, match="malformed GraphML"):
+                importer(spark, bad)
+
+    # entity bomb: rejected by declaration scan BEFORE any expansion
+    bomb = ('<?xml version="1.0"?><!DOCTYPE g [<!ENTITY a "xx">'
+            + "".join(f'<!ENTITY {c} "&{p};&{p};&{p};&{p};&{p};&{p};">'
+                      for c, p in zip("bcdefghij", "abcdefghi"))
+            + ']><graphml xmlns="http://graphml.graphdrawing.org/xmlns">'
+              '<node id="&j;"/></graphml>')
+    t0 = time.time()
+    with pytest.raises(ValueError, match="malformed GraphML"):
+        import_graphml(spark, bomb)
+    assert time.time() - t0 < 1.0  # rejected, not expanded
+
+    # tolerated damage: bad weight -> default, id-less node skipped
+    ml = ('<graphml xmlns="http://graphml.graphdrawing.org/xmlns"><graph>'
+          '<node id="a"><data key="d0">A</data></node>'
+          '<node><data key="d0">anon</data></node>'
+          '<node id="b"/>'
+          '<edge source="a" target="b"><data key="d3">NaNope</data></edge>'
+          '</graph></graphml>')
+    n, e = import_graphml(spark, ml)
+    assert {r.entity_id for r in n.collect()} == {"a", "b"}
+    assert e.first().confidence == 0.0
+    lr = ml.replace('key="d3"', 'key="d6"')
+    n2, e2 = import_lightrag_graphml(spark, lr)
+    assert {r.entity_id for r in n2.collect()} == {"a", "b"}
+    assert e2.first().confidence == 1.0  # lightrag default weight
