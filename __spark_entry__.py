@@ -465,6 +465,36 @@ def q_v_ann_lsh(spark, sf_dir):
     return V.ann_topk_lsh(emb, q, planes, k=20).select("vec_id", F.round("score", 3).alias("score"))
 
 
+def _ivf_fixed(spark, sf_dir):
+    """(assigned, centroids, query_vec) with DETERMINISTIC centroids (the
+    embeddings of vec_id 0..15) so the whole IVF path is oracle-twinnable;
+    the KMeans fit (ivf_index) stays the production trainer."""
+    emb = _emb(spark, sf_dir)
+    cent_rows = emb.where(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    centroids = [[float(x) for x in r.embedding] for r in cent_rows]
+    qvec = centroids[0]
+    return V.ivf_assign(emb, centroids), centroids, qvec
+
+
+def q_v_ann_ivf(spark, sf_dir):
+    """Round 5: IVF ANN oracle-certified end-to-end (was test-only) —
+    fixed-centroid assignment (ivf_assign, squared-L2 argmin in column
+    exprs) + 2-probe in-bucket cosine rerank (ivf_topk). The oracle
+    recomputes assignment, probe choice, and rerank in DuckDB; a wrong
+    centroid on any candidate or a probe mismatch breaks the hash."""
+    assigned, centroids, qvec = _ivf_fixed(spark, sf_dir)
+    out = V.ivf_topk(assigned, centroids, qvec, k=15, n_probe=2)
+    return out.select("vec_id", "centroid", F.round("score", 3).alias("score"))
+
+
+def q_v_ann_ivf_hist(spark, sf_dir):
+    """Round 5: the FULL IVF assignment table certified (not just the
+    top-k sample) — per-centroid vector counts over every embedding."""
+    assigned, _, _ = _ivf_fixed(spark, sf_dir)
+    return assigned.groupBy("centroid").agg(F.count("*").alias("n")) \
+        .select(F.col("centroid").cast("int").alias("centroid"), "n")
+
+
 def q_v_label_pairs(spark, sf_dir):
     emb = _emb(spark, sf_dir).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
@@ -1632,6 +1662,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- round-5 additions (never driver-certified) go FIRST ---
         "mm_png": q_mm_png,
         "f6_stream_merge_md5": q_f6_stream_merge_md5,
+        "v_ann_ivf": q_v_ann_ivf,
+        "v_ann_ivf_hist": q_v_ann_ivf_hist,
         # --- r1-r3-certified set not sampled in r4: lead the r5 window so
         # --- CORRECTNESS_r05 re-certifies them on end-state code (VERDICT r4 #1)
         "g_cycles": q_g_cycles,
@@ -2584,6 +2616,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'm' || doc::VARCHAR AS media_id, 75::INT AS n_bytes,
                    dim::INT AS dim, round(m, 4)::DOUBLE AS v
             FROM px""",
+        "v_ann_ivf": """
+            WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                       FROM embeddings WHERE vec_id < 16),
+            q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+            a AS (
+              SELECT vec_id, centroid FROM (
+                SELECT e.vec_id, c.cid AS centroid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_distance(e.embedding::DOUBLE[], c.cv) ASC,
+                                  c.cid ASC) AS rn
+                FROM embeddings e, c) WHERE rn = 1
+            ),
+            probes AS (
+              SELECT cid FROM (
+                SELECT c.cid, row_number() OVER (
+                         ORDER BY list_distance(q.qv, c.cv) ASC, c.cid ASC) AS rn
+                FROM c, q) WHERE rn <= 2
+            )
+            SELECT e.vec_id, a.centroid::INT AS centroid,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 3)::DOUBLE AS score
+            FROM embeddings e JOIN a USING (vec_id), q
+            WHERE a.centroid IN (SELECT cid FROM probes)
+            ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC,
+                     e.vec_id ASC
+            LIMIT 15""",
+        "v_ann_ivf_hist": """
+            WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                       FROM embeddings WHERE vec_id < 16),
+            a AS (
+              SELECT vec_id, centroid FROM (
+                SELECT e.vec_id, c.cid AS centroid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_distance(e.embedding::DOUBLE[], c.cv) ASC,
+                                  c.cid ASC) AS rn
+                FROM embeddings e, c) WHERE rn = 1
+            )
+            SELECT centroid::INT AS centroid, count(*)::BIGINT AS n
+            FROM a GROUP BY 1""",
         "f6_stream_merge_md5": r"""
             WITH turns AS (
               SELECT 'c' || doc_id::VARCHAR AS conv_id, i.i AS turn_idx,

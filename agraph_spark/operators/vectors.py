@@ -127,6 +127,45 @@ def ivf_index(
     return assigned, centroids
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assignment-only IVF: nearest centroid (squared L2, lowest index on
+    ties) as pure column expressions — the deterministic, oracle-
+    certifiable half of the IVF path (v_ann_ivf/v_ann_ivf_hist twin it in
+    DuckDB). ``ivf_index`` remains the production fit (KMeans); this
+    function is what a pipeline runs when centroids are already trained
+    and shipped as a literal/broadcast — the common serving shape at
+    100 TB, where assignment is a map-only pass."""
+    cs = F.array(*[
+        F.struct(
+            F.lit(i).alias("i"),
+            F.array(*[F.lit(float(x)) for x in c]).alias("v"),
+        )
+        for i, c in enumerate(centroids)
+    ])
+    v = F.col(vec_col).cast("array<double>")
+
+    def d2(c):
+        return F.aggregate(
+            F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    best = F.aggregate(
+        cs,
+        F.struct(F.lit(-1).alias("i"), F.lit(float("inf")).alias("d")),
+        lambda acc, c: F.when(
+            d2(c["v"]) < acc["d"],
+            F.struct(c["i"].alias("i"), d2(c["v"]).alias("d")),
+        ).otherwise(acc),
+    )
+    return embeddings.withColumn("centroid", best["i"])
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: list[list[float]],

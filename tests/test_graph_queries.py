@@ -151,6 +151,28 @@ def test_ivf_matches_bruteforce_topk(spark):
     assert ivf1 == [5]
 
 
+def test_ivf_assign_matches_numpy_argmin(spark):
+    """ivf_assign (the deterministic column-expression assignment, round
+    5) must agree with a numpy squared-L2 argmin on every vector, and
+    compose with ivf_topk identically to a KMeans-free pipeline."""
+    from agraph_spark.operators.vectors import ivf_assign
+
+    rng = np.random.default_rng(23)
+    vecs = rng.standard_normal((200, 8)).astype("float32")
+    cents = vecs[:5].astype("float64")
+    df = spark.createDataFrame([(i, v.tolist()) for i, v in enumerate(vecs)],
+                               "vec_id long, embedding array<float>")
+    got = {r.vec_id: r.centroid
+           for r in ivf_assign(df, cents.tolist()).collect()}
+    v64 = vecs.astype("float64")
+    want = ((v64[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    assert got == {i: int(want[i]) for i in range(len(vecs))}
+    # exact-duplicate centroid: tie resolves to the LOWEST index
+    dup = np.vstack([cents, cents[2:3]])
+    got_dup = {r.vec_id: r.centroid for r in ivf_assign(df, dup.tolist()).collect()}
+    assert all(c <= 4 for c in got_dup.values())
+
+
 def test_chunk_similarity_plan_is_equi_join(spark):
     """A14 must block on shared entities via an inverted-index equi-join:
     no BroadcastNestedLoopJoin / CartesianProduct anywhere in the plan
