@@ -212,10 +212,52 @@ def verify_pairs_batched(
     return pairs.mapInPandas(kernel, schema=schema)
 
 
-def canonical_mapping(confirmed_pairs: DataFrame) -> DataFrame:
+def canonical_mapping(
+    confirmed_pairs: DataFrame,
+    small_graph_threshold: int | None = 100_000,
+) -> DataFrame:
     """D5: connected components over confirmed duplicate pairs; canonical id
     = min entity_id per component. Output (entity_id, canonical_id) only for
-    ids whose canonical differs."""
+    ids whose canonical differs.
+
+    Adaptive execution (the broadcast-join-threshold analog): confirmed
+    pairs are bounded by the distinct linkable surface forms, not corpus
+    size (PLANS.md 150k-conv run: 947k turns -> 2,362 candidates), so the
+    common case is a TINY pair graph where the iterative distributed CC
+    pays multiple jobs of pure scheduling overhead — measured 4.7 s for
+    437 pairs at bench scale. Below ``small_graph_threshold`` pairs
+    (counted with one shallow aggregate) the component labels come from a
+    driver-side union-find instead (milliseconds, same min-id semantics,
+    pytest-checked equal); above it, or with threshold=None, the
+    iterative hash-min + pointer-jumping path runs unchanged — that is
+    the 100 TB path when someone links without a candidate bound."""
+    spark = confirmed_pairs.sparkSession
+    if small_graph_threshold is not None:
+        pairs = confirmed_pairs.limit(small_graph_threshold + 1).collect()
+        if len(pairs) <= small_graph_threshold:
+            parent: dict[str, str] = {}
+
+            def find(x: str) -> str:
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:
+                    parent[x], x = r, parent[x]
+                return r
+
+            for p in pairs:
+                a, b = find(p.id_a), find(p.id_b)
+                if a != b:
+                    # union by min so the root IS the canonical id
+                    lo, hi = (a, b) if a < b else (b, a)
+                    parent[hi] = lo
+            mapping = [(x, c) for x in list(parent)
+                       if (c := find(x)) != x]
+            if not mapping:
+                return spark.createDataFrame(
+                    [], "entity_id string, canonical_id string")
+            return spark.createDataFrame(
+                mapping, "entity_id string, canonical_id string")
     labels = connected_components(confirmed_pairs, src="id_a", dst="id_b")
     return labels.select(
         "entity_id", F.col("component").alias("canonical_id")

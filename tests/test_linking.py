@@ -100,6 +100,37 @@ def test_canonical_mapping_transitive_chain(spark):
     )
     m = {r.entity_id: r.canonical_id for r in canonical_mapping(pairs).collect()}
     assert m == {"b": "a", "c": "a", "d": "a", "y": "x"}
+    # the small-graph driver path and the distributed CC path must agree
+    m_dist = {r.entity_id: r.canonical_id
+              for r in canonical_mapping(pairs, small_graph_threshold=None).collect()}
+    assert m_dist == m
+
+
+def test_canonical_mapping_small_path_equals_distributed(spark):
+    """Round 5: canonical_mapping's adaptive small-graph cutover (driver
+    union-find under the pair threshold) must be row-identical to the
+    iterative distributed CC on a random pair soup, including when the
+    threshold forces the distributed path."""
+    import random
+
+    rng = random.Random(99)
+    ids = [f"e{i:03d}" for i in range(120)]
+    pairs = [(min(a, b), max(a, b))
+             for a, b in (rng.sample(ids, 2) for _ in range(150))]
+    df = spark.createDataFrame(pairs, "id_a string, id_b string")
+    small = {(r.entity_id, r.canonical_id)
+             for r in canonical_mapping(df).collect()}
+    dist = {(r.entity_id, r.canonical_id)
+            for r in canonical_mapping(df, small_graph_threshold=None).collect()}
+    assert small == dist and len(small) > 0
+    # threshold smaller than the pair count -> falls through to distributed
+    forced = {(r.entity_id, r.canonical_id)
+              for r in canonical_mapping(df, small_graph_threshold=10).collect()}
+    assert forced == dist
+    # empty input -> empty mapping, correct schema
+    empty = canonical_mapping(
+        spark.createDataFrame([], "id_a string, id_b string"))
+    assert empty.count() == 0 and empty.columns == ["entity_id", "canonical_id"]
 
 
 def test_linkable_universe_bound_is_visible(spark, caplog):
