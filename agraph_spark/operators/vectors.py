@@ -155,13 +155,12 @@ def ivf_assign(
             lambda acc, x: acc + x,
         )
 
-    best = F.aggregate(
-        cs,
-        F.struct(F.lit(-1).alias("i"), F.lit(float("inf")).alias("d")),
-        lambda acc, c: F.when(
-            d2(c["v"]) < acc["d"],
-            F.struct(c["i"].alias("i"), d2(c["v"]).alias("d")),
-        ).otherwise(acc),
+    # one distance per centroid, then array_min over (d, i) structs —
+    # struct ordering breaks ties on the lower index, matching a stable
+    # argmin (and computing each distance once, unlike a fold with the
+    # distance in the predicate)
+    best = F.array_min(
+        F.transform(cs, lambda c: F.struct(d2(c["v"]).alias("d"), c["i"].alias("i")))
     )
     return embeddings.withColumn("centroid", best["i"])
 
