@@ -1695,8 +1695,6 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "kg_keywords": q_kg_keywords,
         "kg_confidence": q_kg_confidence,
         "kg_sentences": q_kg_sentences,
-        "kg_triples_docs": q_kg_triples_docs,
-        "kg_entities_docs": q_kg_entities_docs,
         "txt_tokens": q_txt_tokens,
         "txt_quality": q_txt_quality,
         "txt_langid": q_txt_langid,
@@ -1712,10 +1710,15 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "v_label_pairs": q_v_label_pairs,
         "ev_sessionize": q_ev_sessionize,
         "ev_reassemble": q_ev_reassemble,
-        "kg_search_multi": q_kg_search_multi,
         "kg_search_multi_md5": q_kg_search_multi_md5,
         "f1_entity_filter": q_f1_entity_filter,
         # --- r4-certified set (past the 50-slot window; full local gate covers) ---
+        # (three ROWS-ONLY queries moved here so the 50-slot window holds
+        #  only hash-certifiable entries: their driver row adds no hash
+        #  evidence — parity/md5 twins are their real gate)
+        "kg_triples_docs": q_kg_triples_docs,
+        "kg_entities_docs": q_kg_entities_docs,
+        "kg_search_multi": q_kg_search_multi,
         "d9_upsert": q_d9_upsert,
         "db_schema": q_db_schema,
         "a14_chunk_sim": q_a14_chunk_sim,

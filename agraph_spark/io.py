@@ -202,6 +202,11 @@ def import_graphml(spark: SparkSession, xml_text: str) -> tuple[DataFrame, DataF
         data = {d.get("key"): (d.text or "") for d in nd.iterfind("g:data", ns)}
         nodes.append((nd.get("id"), data.get("d0", ""), data.get("d1", "unknown")))
     for ed in root.iterfind(".//g:edge", ns):
+        # endpoint-less edges are importer artifacts, not graph data — drop
+        # them (consistent with import_lightrag_graphml) so downstream
+        # integrity checks don't count null-endpoint rows as dangling edges
+        if ed.get("source") is None or ed.get("target") is None:
+            continue
         data = {d.get("key"): (d.text or "") for d in ed.iterfind("g:data", ns)}
         edges.append(
             (ed.get("source"), ed.get("target"), data.get("d2", "related_to"),
@@ -248,6 +253,9 @@ JSON_EXTS = {".json", ".jsonl"}
 CSV_EXTS = {".csv", ".tsv"}
 STUB_EXTS = {".png": "image-ocr", ".jpg": "image-ocr", ".jpeg": "image-ocr"}
 HTML_EXTS = {".html", ".htm"}
+
+# single outstanding quarantine-audit cache (see read_documents)
+_QUARANTINE_CACHE: dict[str, DataFrame] = {}
 XLSX_EXTS = {".xlsx", ".xlsm"}
 DOCX_EXTS = {".docx"}
 DOC_EXTS = {".doc"}
@@ -294,11 +302,20 @@ def read_documents(
             # Pay the binaryFile scan + parse kernel ONCE: track() the
             # parsed frame so the audit count materializes the cache and
             # the returned frame reads from it (the r4 default re-ran the
-            # whole scan just to produce this log line). The cache is
-            # released by the session owner's release_caches sweep.
+            # whole scan just to produce this log line). At most ONE such
+            # cache stays outstanding per process — the previous read's is
+            # unpersisted here, and the session owner's release_caches
+            # sweep frees the last one.
             from agraph_spark import caching
 
+            prev = _QUARANTINE_CACHE.pop("df", None)
+            if prev is not None:
+                try:
+                    prev.unpersist()
+                except Exception:
+                    pass
             out = caching.track(out)
+            _QUARANTINE_CACHE["df"] = out
             n_bad = out.agg(F.count("parse_error")).first()[0]
             if n_bad:
                 logging.getLogger(__name__).warning(

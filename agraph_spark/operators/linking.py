@@ -225,16 +225,19 @@ def canonical_mapping(
     size (PLANS.md 150k-conv run: 947k turns -> 2,362 candidates), so the
     common case is a TINY pair graph where the iterative distributed CC
     pays multiple jobs of pure scheduling overhead — measured 4.7 s for
-    437 pairs at bench scale. Below ``small_graph_threshold`` pairs
-    (counted with one shallow aggregate) the component labels come from a
-    driver-side union-find instead (milliseconds, same min-id semantics,
-    pytest-checked equal); above it, or with threshold=None, the
-    iterative hash-min + pointer-jumping path runs unchanged — that is
-    the 100 TB path when someone links without a candidate bound."""
+    437 pairs at bench scale. A bounded collect (at most threshold+1
+    rows, ~10 MB at the default) probes the size; under the threshold the
+    component labels come from a driver-side union-find (milliseconds,
+    same min-id semantics, pytest-checked equal), above it — or with
+    threshold=None — the iterative hash-min + pointer-jumping path runs
+    unchanged: that is the 100 TB path when someone links without a
+    candidate bound. Pairs with a null id are skipped (a null is never a
+    mergeable entity id)."""
     spark = confirmed_pairs.sparkSession
     if small_graph_threshold is not None:
         pairs = confirmed_pairs.limit(small_graph_threshold + 1).collect()
         if len(pairs) <= small_graph_threshold:
+            pairs = [p for p in pairs if p.id_a is not None and p.id_b is not None]
             parent: dict[str, str] = {}
 
             def find(x: str) -> str:

@@ -182,7 +182,9 @@ def ivf_topk(
     c = np.asarray(centroids, dtype=float)
     q = np.asarray(query_vec, dtype=float)
     dists = ((c - q) ** 2).sum(axis=1)
-    probes = [int(i) for i in np.argsort(dists)[:n_probe]]
+    # stable sort: equidistant centroids tie-break on the LOWER index,
+    # matching the v_ann_ivf oracle's (distance, cid) ordering
+    probes = [int(i) for i in np.argsort(dists, kind="stable")[:n_probe]]
     spark = assigned.sparkSession
     qdf = spark.createDataFrame([(query_vec,)], f"query_vec array<double>")
     cand = assigned.where(F.col("centroid").isin(probes))

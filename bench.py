@@ -97,9 +97,13 @@ def main() -> None:
         mapping = link_entities(build_nodes(build_box["build"].entities))
         return mapping.count()
 
-    extra["n_link_mappings"] = timed("kg_link_entities", kg_link)
-    build_box["build"].documents.unpersist()
-    build_box["build"].entities.unpersist()
+    try:
+        extra["n_link_mappings"] = timed("kg_link_entities", kg_link)
+    finally:
+        # even on a link failure the build caches must not leak into the
+        # timings below (the round-1 cross-acceleration artifact)
+        build_box["build"].documents.unpersist()
+        build_box["build"].entities.unpersist()
 
     # document-corpus extraction (driver's documents table)
     qs = entrymod.queries()

@@ -56,17 +56,23 @@ def run_child(out_dir: str, kill_after: float | None = None):
     """Run the child; optionally SIGKILL it after ``kill_after`` seconds.
     Returns (wall_seconds, stdout_text, was_killed)."""
     t0 = time.time()
+    # start_new_session so the child leads its own process group: the kill
+    # must take down python AND its Spark JVM together, otherwise the
+    # orphaned JVM keeps committing batches to out_dir concurrently with
+    # the resume session (conflicting writes + contended timing).
     proc = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "child", out_dir, str(N_CONVS)],
         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        start_new_session=True,
     )
     if kill_after is not None:
         time.sleep(kill_after)
-        # SIGKILL the whole process group? The JVM is a child of python —
-        # killing python orphans the JVM briefly; kill both via process kill
-        # then let the JVM die on its own socket loss.
-        proc.send_signal(signal.SIGKILL)
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
         proc.wait()
+        time.sleep(2.0)  # let the OS reap the group before the resume run
         return time.time() - t0, "", True
     out, _ = proc.communicate()
     if proc.returncode != 0:

@@ -27,16 +27,33 @@ from agraph_spark.session import get_spark
 
 SRC = os.environ.get("SF_BIG_SRC", "/root/testdata/sf0.1")
 
-# table -> columns whose key space must be shifted per replica
+# Key DOMAINS: each gets one span, computed from its defining (parent)
+# table, and every column in that domain — PK and FKs alike — shifts by
+# the same span. Shifting each column by its own table's max would
+# misalign FKs whenever max(child FK) != max(parent PK) (e.g. real TPC-H,
+# where a third of customers have no orders).
+DOMAINS = {
+    "custkey": ("customer", "c_custkey"),
+    "suppkey": ("supplier", "s_suppkey"),
+    "orderkey": ("orders", "o_orderkey"),
+    "partkey": ("part", "p_partkey"),
+    "doc": ("documents", "doc_id"),
+    "vec": ("embeddings", "vec_id"),
+    "event": ("events", "event_id"),
+    "user": ("events", "user_id"),
+}
+
+# table -> [(column, domain)]
 SHIFT = {
-    "customer": ["c_custkey"],
-    "supplier": ["s_suppkey"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "lineitem": ["l_orderkey"],
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
-    "events": ["event_id", "user_id"],
-    "part": ["p_partkey"],
+    "customer": [("c_custkey", "custkey")],
+    "supplier": [("s_suppkey", "suppkey")],
+    "orders": [("o_orderkey", "orderkey"), ("o_custkey", "custkey")],
+    "lineitem": [("l_orderkey", "orderkey"), ("l_partkey", "partkey"),
+                 ("l_suppkey", "suppkey")],
+    "documents": [("doc_id", "doc")],
+    "embeddings": [("vec_id", "vec")],
+    "events": [("event_id", "event"), ("user_id", "user")],
+    "part": [("p_partkey", "partkey")],
 }
 COPY = ["region", "nation"]
 
@@ -55,15 +72,20 @@ def main() -> None:
         print(f"copied {name}")
 
     reps = spark.range(factor).select(F.col("id").cast("int").alias("_rep"))
+    spans = {}
+    for dom, (tbl, col) in DOMAINS.items():
+        src = f"{SRC}/{tbl}.parquet"
+        if os.path.exists(src):
+            spans[dom] = spark.read.parquet(src).agg(F.max(col)).first()[0] + 1
     for name, keys in SHIFT.items():
         src = f"{SRC}/{name}.parquet"
         if not os.path.exists(src):
             continue
         df = spark.read.parquet(src)
-        spans = {k: df.agg(F.max(k)).first()[0] + 1 for k in keys}
+        keys = [(k, d) for k, d in keys if k in df.columns and d in spans]
         big = df.crossJoin(F.broadcast(reps))
-        for k in keys:
-            big = big.withColumn(k, (F.col(k) + F.col("_rep") * F.lit(spans[k])
+        for k, dom in keys:
+            big = big.withColumn(k, (F.col(k) + F.col("_rep") * F.lit(spans[dom])
                                      ).cast(dict(df.dtypes)[k]))
         if "text" in df.columns:
             big = big.withColumn(
