@@ -245,6 +245,16 @@ def q_g_stats(spark, sf_dir):
     return G.basic_statistics(nodes, edges)
 
 
+def q_g_metrics_report(spark, sf_dir):
+    """Round 5: the reference's COMPOSITE network-metrics report
+    (calculate_graph_metrics, utils.py:196-268) certified as one unit —
+    basic stats, reference-exact total degree (self-loop counts once),
+    2E/(N(N-1)) density, top-central, entity-only connectivity, and both
+    type distributions as (metric, value) rows."""
+    nodes, edges = _g(spark, sf_dir)
+    return A.graph_metrics(nodes, edges)
+
+
 def q_a13_summary(spark, sf_dir):
     """A13 summary report as (line_no, line) rows — the formatted string
     graph_summary() joins, certified line-by-line (VERDICT r3 #5)."""
@@ -1664,6 +1674,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "f6_stream_merge_md5": q_f6_stream_merge_md5,
         "v_ann_ivf": q_v_ann_ivf,
         "v_ann_ivf_hist": q_v_ann_ivf_hist,
+        "g_metrics_report": q_g_metrics_report,
         # --- r1-r3-certified set not sampled in r4: lead the r5 window so
         # --- CORRECTNESS_r05 re-certifies them on end-state code (VERDICT r4 #1)
         "g_cycles": q_g_cycles,
@@ -1703,7 +1714,6 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ev_window": q_ev_window,
         "tpch_join3": q_tpch_join3,
         "dd_ngram_jaccard": q_dd_ngram_jaccard,
-        "dd_minhash": q_dd_minhash,
         "dd_simhash_md5": q_dd_simhash_md5,
         "dd_simhash": q_dd_simhash,
         "v_ann_lsh": q_v_ann_lsh,
@@ -1719,6 +1729,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "kg_triples_docs": q_kg_triples_docs,
         "kg_entities_docs": q_kg_entities_docs,
         "kg_search_multi": q_kg_search_multi,
+        "dd_minhash": q_dd_minhash,
         "d9_upsert": q_d9_upsert,
         "db_schema": q_db_schema,
         "a14_chunk_sim": q_a14_chunk_sim,
@@ -2619,6 +2630,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'm' || doc::VARCHAR AS media_id, 75::INT AS n_bytes,
                    dim::INT AS dim, round(m, 4)::DOUBLE AS v
             FROM px""",
+        "g_metrics_report": _GC + """
+            , hd AS (SELECT head_id AS eid, count(*)::BIGINT c FROM edges GROUP BY 1),
+            tl AS (SELECT tail_id AS eid, count(*)::BIGINT c FROM edges GROUP BY 1),
+            sl AS (SELECT head_id AS eid, count(*)::BIGINT c FROM edges
+                   WHERE head_id = tail_id GROUP BY 1),
+            deg AS (
+              SELECT n.entity_id,
+                     (coalesce(hd.c, 0) + coalesce(tl.c, 0) - coalesce(sl.c, 0))::BIGINT AS d
+              FROM nodes n LEFT JOIN hd ON n.entity_id = hd.eid
+                           LEFT JOIN tl ON n.entity_id = tl.eid
+                           LEFT JOIN sl ON n.entity_id = sl.eid
+            ),
+            ve AS (
+              SELECT e.head_id AS a, e.tail_id AS b FROM edges e
+              WHERE e.head_id IN (SELECT entity_id FROM nodes)
+                AND e.tail_id IN (SELECT entity_id FROM nodes)
+            ),
+            vsym AS (SELECT a, b FROM ve UNION SELECT b, a FROM ve),
+            vreach AS (
+              SELECT entity_id, entity_id AS r FROM nodes
+              UNION
+              SELECT vreach.entity_id, vsym.b FROM vreach JOIN vsym ON vreach.r = vsym.a
+            ),
+            vcomp AS (SELECT entity_id, min(r) AS component FROM vreach GROUP BY entity_id),
+            vcsz AS (SELECT component, count(*)::BIGINT AS sz FROM vcomp GROUP BY component),
+            vconn AS (SELECT count(*)::BIGINT AS nc, max(sz)::BIGINT AS largest FROM vcsz),
+            mstats AS (SELECT (SELECT count(*) FROM nodes)::BIGINT n,
+                              (SELECT count(*) FROM edges)::BIGINT e)
+            SELECT 'node_count' AS metric, n::DOUBLE AS value FROM mstats
+            UNION ALL SELECT 'edge_count', e::DOUBLE FROM mstats
+            UNION ALL SELECT 'density',
+              (CASE WHEN n > 1 THEN round(2.0 * e / (n * (n - 1.0)), 4) ELSE 0.0 END)::DOUBLE FROM mstats
+            UNION ALL SELECT 'avg_degree', round(avg(d), 2)::DOUBLE FROM deg
+            UNION ALL SELECT 'max_degree', max(d)::DOUBLE FROM deg
+            UNION ALL SELECT 'min_degree', min(d)::DOUBLE FROM deg
+            UNION ALL SELECT 'central_degree:' || entity_id, d::DOUBLE FROM
+              (SELECT entity_id, d FROM deg ORDER BY d DESC, entity_id ASC LIMIT 5)
+            UNION ALL SELECT 'connected_components', nc::DOUBLE FROM vconn
+            UNION ALL SELECT 'largest_component_size', largest::DOUBLE FROM vconn
+            UNION ALL SELECT 'is_connected',
+              (CASE WHEN nc <= 1 THEN 1 ELSE 0 END)::DOUBLE FROM vconn
+            UNION ALL SELECT 'entity_type:' || coalesce(entity_type, '(null)'),
+              count(*)::DOUBLE FROM nodes GROUP BY 1
+            UNION ALL SELECT 'relation_type:' || coalesce(pred, '(null)'),
+              count(*)::DOUBLE FROM edges GROUP BY 1""",
         "v_ann_ivf": """
             WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
                        FROM embeddings WHERE vec_id < 16),

@@ -253,3 +253,38 @@ def test_all_paths_stop_at_first_hit(spark):
     # dead-end early break: frontier empties before max_depth
     assert all_paths(edges, "n", "a", max_depth=4,
                      stop_at_first_hit=True).count() == 0
+
+
+def test_graph_metrics_reference_semantics(spark):
+    """Round 5: graph_metrics mirrors calculate_graph_metrics
+    (utils.py:196-268) — a self-loop adds ONE to total degree (the
+    reference's get_entity_relations appends once for direction='both'),
+    density is 2E/(N(N-1)), components span entities only (a dangling
+    relation connects nothing), and isolated nodes are singleton
+    components with degree 0."""
+    from agraph_spark.operators.analytics import graph_metrics
+
+    nodes = spark.createDataFrame(
+        [("a", "A", "person", 0.9), ("b", "B", "person", 0.9),
+         ("c", "C", "place", 0.8), ("iso", "I", "place", 0.5)],
+        "entity_id string, name string, entity_type string, confidence double")
+    edges = spark.createDataFrame(
+        [("a", "b", "knows", 0.9),      # normal edge
+         ("a", "a", "similar_to", 0.5), # self-loop: degree(a) += 1
+         ("b", "ghost", "knows", 0.4),  # dangling: degree(b) += 1, connects nothing
+         ("c", "a", "near", 0.6)],
+        "head_id string, tail_id string, pred string, confidence double")
+    m = {r.metric: r.value for r in graph_metrics(nodes, edges).collect()}
+
+    assert m["node_count"] == 4 and m["edge_count"] == 4
+    # degrees: a = knows(a,b) + self-loop(1) + near(c,a) = 3; b = 2; c = 1; iso = 0
+    assert m["max_degree"] == 3.0 and m["min_degree"] == 0.0
+    assert m["avg_degree"] == 1.5  # (3+2+1+0)/4
+    assert m["central_degree:a"] == 3.0 and m["central_degree:iso"] == 0.0
+    # density = 2*4 / (4*3)
+    assert m["density"] == round(8 / 12, 4)
+    # components over {a,b,c} via (a-b),(c-a); ghost connects nothing; iso alone
+    assert m["connected_components"] == 2.0
+    assert m["largest_component_size"] == 3.0 and m["is_connected"] == 0.0
+    assert m["entity_type:person"] == 2.0 and m["entity_type:place"] == 2.0
+    assert m["relation_type:knows"] == 2.0 and m["relation_type:near"] == 1.0
