@@ -245,6 +245,16 @@ def q_g_stats(spark, sf_dir):
     return G.basic_statistics(nodes, edges)
 
 
+def q_g_consistency_report(spark, sf_dir):
+    """Round 5: the reference's COMPOSITE consistency report
+    (validate_graph_consistency, utils.py:400-466) certified as one
+    (issue_type, item, n) frame — missing endpoints, duplicate
+    signatures (count-1 per signature; dangling endpoints participate,
+    as in the reference), self-loops."""
+    nodes, edges = _g(spark, sf_dir)
+    return G.consistency_issues(nodes, edges)
+
+
 def q_g_metrics_report(spark, sf_dir):
     """Round 5: the reference's COMPOSITE network-metrics report
     (calculate_graph_metrics, utils.py:196-268) certified as one unit —
@@ -1675,6 +1685,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "v_ann_ivf": q_v_ann_ivf,
         "v_ann_ivf_hist": q_v_ann_ivf_hist,
         "g_metrics_report": q_g_metrics_report,
+        "g_consistency_report": q_g_consistency_report,
         # --- r1-r3-certified set not sampled in r4: lead the r5 window so
         # --- CORRECTNESS_r05 re-certifies them on end-state code (VERDICT r4 #1)
         "g_cycles": q_g_cycles,
@@ -1715,7 +1726,6 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "tpch_join3": q_tpch_join3,
         "dd_ngram_jaccard": q_dd_ngram_jaccard,
         "dd_simhash_md5": q_dd_simhash_md5,
-        "dd_simhash": q_dd_simhash,
         "v_ann_lsh": q_v_ann_lsh,
         "v_label_pairs": q_v_label_pairs,
         "ev_sessionize": q_ev_sessionize,
@@ -1730,6 +1740,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "kg_entities_docs": q_kg_entities_docs,
         "kg_search_multi": q_kg_search_multi,
         "dd_minhash": q_dd_minhash,
+        "dd_simhash": q_dd_simhash,
         "d9_upsert": q_d9_upsert,
         "db_schema": q_db_schema,
         "a14_chunk_sim": q_a14_chunk_sim,
@@ -2630,6 +2641,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'm' || doc::VARCHAR AS media_id, 75::INT AS n_bytes,
                    dim::INT AS dim, round(m, 4)::DOUBLE AS v
             FROM px""",
+        "g_consistency_report": _GC + """
+            , mh AS (
+              SELECT 'missing_head_entity' AS issue_type,
+                     head_id || '|' || tail_id || '|' || pred AS item,
+                     count(*)::BIGINT AS n
+              FROM edges WHERE head_id NOT IN (SELECT entity_id FROM nodes)
+              GROUP BY 2
+            ),
+            mt AS (
+              SELECT 'missing_tail_entity', head_id || '|' || tail_id || '|' || pred,
+                     count(*)::BIGINT
+              FROM edges WHERE tail_id NOT IN (SELECT entity_id FROM nodes)
+              GROUP BY 2
+            ),
+            dup AS (
+              SELECT 'duplicate_relation', item, n FROM (
+                SELECT head_id || '|' || tail_id || '|' || pred AS item,
+                       (count(*) - 1)::BIGINT AS n
+                FROM edges GROUP BY 1) WHERE n > 0
+            ),
+            sl AS (
+              SELECT 'self_loop', head_id, count(*)::BIGINT
+              FROM edges WHERE head_id = tail_id GROUP BY 2
+            )
+            SELECT * FROM mh UNION ALL SELECT * FROM mt
+            UNION ALL SELECT * FROM dup UNION ALL SELECT * FROM sl""",
         "g_metrics_report": _GC + """
             , hd AS (SELECT head_id AS eid, count(*)::BIGINT c FROM edges GROUP BY 1),
             tl AS (SELECT tail_id AS eid, count(*)::BIGINT c FROM edges GROUP BY 1),

@@ -95,3 +95,42 @@ def basic_statistics(nodes: DataFrame, edges: DataFrame, chunks: DataFrame | Non
     if chunks is not None:
         out = out.crossJoin(chunks.agg(F.count("*").alias("chunk_count")))
     return out
+
+
+def consistency_issues(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """The reference's COMPOSITE consistency report
+    (validate_graph_consistency, utils.py:400-466) as one
+    (issue_type, item, n) frame, semantics preserved:
+    - missing_head_entity / missing_tail_entity: per edge signature whose
+      endpoint id is not an entity (n = occurrences of that signature);
+    - duplicate_relation: per (head, tail, pred) signature seen more than
+      once, n = count - 1 (the reference flags every occurrence AFTER the
+      first; which physical row is 'the duplicate' is dict-insertion
+      order there, so the count per signature is the stable projection);
+      dangling endpoints still participate (the reference only requires
+      the entity OBJECTS to exist, not graph membership);
+    - self_loop: per entity with head == tail edges, n = loop count.
+    """
+    ids = nodes.select("entity_id")
+    sig = F.concat_ws("|", "head_id", "tail_id", "pred")
+    mh = (
+        edges.join(ids.withColumnRenamed("entity_id", "head_id"), "head_id", "left_anti")
+        .groupBy(sig.alias("item")).agg(F.count("*").alias("n"))
+        .select(F.lit("missing_head_entity").alias("issue_type"), "item", "n")
+    )
+    mt = (
+        edges.join(ids.withColumnRenamed("entity_id", "tail_id"), "tail_id", "left_anti")
+        .groupBy(sig.alias("item")).agg(F.count("*").alias("n"))
+        .select(F.lit("missing_tail_entity").alias("issue_type"), "item", "n")
+    )
+    dup = (
+        edges.groupBy(sig.alias("item")).agg((F.count("*") - 1).alias("n"))
+        .where(F.col("n") > 0)
+        .select(F.lit("duplicate_relation").alias("issue_type"), "item", "n")
+    )
+    sl = (
+        edges.where(F.col("head_id") == F.col("tail_id"))
+        .groupBy(F.col("head_id").alias("item")).agg(F.count("*").alias("n"))
+        .select(F.lit("self_loop").alias("issue_type"), "item", "n")
+    )
+    return mh.unionByName(mt).unionByName(dup).unionByName(sl)

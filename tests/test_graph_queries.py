@@ -288,3 +288,27 @@ def test_graph_metrics_reference_semantics(spark):
     assert m["largest_component_size"] == 3.0 and m["is_connected"] == 0.0
     assert m["entity_type:person"] == 2.0 and m["entity_type:place"] == 2.0
     assert m["relation_type:knows"] == 2.0 and m["relation_type:near"] == 1.0
+
+
+def test_consistency_issues_reference_semantics(spark):
+    """Round 5: consistency_issues mirrors validate_graph_consistency
+    (utils.py:400-466) — duplicates flag count-1 per signature, dangling
+    endpoints still participate in duplicate signatures, self-loops key
+    on the entity."""
+    from agraph_spark.operators.integrity import consistency_issues
+
+    nodes = spark.createDataFrame(
+        [("a", "A", "t", 0.9), ("b", "B", "t", 0.9)],
+        "entity_id string, name string, entity_type string, confidence double")
+    edges = spark.createDataFrame(
+        [("a", "b", "knows", 0.9), ("a", "b", "knows", 0.8),  # dup signature
+         ("a", "ghost", "near", 0.5), ("a", "ghost", "near", 0.4),  # dangling AND dup
+         ("b", "b", "similar_to", 0.6)],
+        "head_id string, tail_id string, pred string, confidence double")
+    got = {(r.issue_type, r.item): r.n for r in consistency_issues(nodes, edges).collect()}
+    assert got == {
+        ("duplicate_relation", "a|b|knows"): 1,
+        ("duplicate_relation", "a|ghost|near"): 1,   # dangling still counts
+        ("missing_tail_entity", "a|ghost|near"): 2,  # both occurrences missing
+        ("self_loop", "b"): 1,
+    }
