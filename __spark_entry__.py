@@ -817,6 +817,27 @@ def q_g_all_paths(spark, sf_dir):
     return out.select(F.concat_ws("->", "path").alias("path"), "depth")
 
 
+def q_g_paths_typed(spark, sf_dir):
+    """Round 5: A10 typed variant (find_paths_with_relation_type,
+    graph_path_finder.py:157-222) — every simple 'contains'-only path
+    R0 -> (min supplier in region 0), depth <= 3. The belongs_to /
+    similar_to edges that all_paths would traverse are excluded by the
+    pushed-down pred filter."""
+    from agraph_spark.operators.graph_queries import paths_with_relation_type
+
+    _, edges = _g(spark, sf_dir)
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    target_key = (
+        s.join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .where(F.col("n_regionkey") == 0)
+        .agg(F.min("s_suppkey"))
+        .collect()[0][0]
+    )
+    out = paths_with_relation_type(edges, "R0", f"S{target_key}", "contains", max_depth=3)
+    return out.select(F.concat_ws("->", "path").alias("path"), "depth")
+
+
 def q_d6_repoint(spark, sf_dir):
     """D6 edge repoint (entity_merger.py:118-147): suppliers divisible by 3
     merge into their nation; both FK columns of every edge follow the
@@ -1686,6 +1707,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "v_ann_ivf_hist": q_v_ann_ivf_hist,
         "g_metrics_report": q_g_metrics_report,
         "g_consistency_report": q_g_consistency_report,
+        "g_paths_typed": q_g_paths_typed,
         # --- r1-r3-certified set not sampled in r4: lead the r5 window so
         # --- CORRECTNESS_r05 re-certifies them on end-state code (VERDICT r4 #1)
         "g_cycles": q_g_cycles,
@@ -1731,8 +1753,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ev_sessionize": q_ev_sessionize,
         "ev_reassemble": q_ev_reassemble,
         "kg_search_multi_md5": q_kg_search_multi_md5,
-        "f1_entity_filter": q_f1_entity_filter,
         # --- r4-certified set (past the 50-slot window; full local gate covers) ---
+        "f1_entity_filter": q_f1_entity_filter,
         # (three ROWS-ONLY queries moved here so the 50-slot window holds
         #  only hash-certifiable entries: their driver row adds no hash
         #  evidence — parity/md5 twins are their real gate)
@@ -2480,6 +2502,25 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'X1', '  ', 'blank'
             )
             SELECT entity_id, entity_type FROM withbad WHERE trim(name) = ''""",
+        "g_paths_typed": _GC + """
+            , adj AS (SELECT DISTINCT head_id AS a, tail_id AS b FROM edges
+                      WHERE pred = 'contains'),
+            target AS (
+              SELECT 'S' || min(s_suppkey) AS t
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_regionkey = 0
+            ),
+            walk AS (
+              SELECT 'R0' AS node, ['R0'] AS path
+              UNION ALL
+              SELECT adj.b, path || [adj.b]
+              FROM walk JOIN adj ON walk.node = adj.a
+              WHERE NOT list_contains(path, adj.b)
+                AND len(path) <= 3
+                AND walk.node <> (SELECT t FROM target)
+            )
+            SELECT array_to_string(path, '->') AS path, (len(path) - 1)::INT AS depth
+            FROM walk WHERE node = (SELECT t FROM target)""",
         "g_all_paths": _GC + """
             , adj AS (SELECT DISTINCT head_id AS a, tail_id AS b FROM edges),
             target AS (

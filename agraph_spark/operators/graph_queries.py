@@ -249,6 +249,26 @@ def all_paths_multi(
     return found
 
 
+def paths_with_relation_type(
+    edges: DataFrame,
+    start_id: str,
+    end_id: str,
+    pred: str,
+    max_depth: int = 3,
+    **kwargs,
+) -> DataFrame:
+    """find_paths_with_relation_type (graph_path_finder.py:157-222): the
+    bounded path walk restricted to edges of ONE relation type.
+    Compositional: the pred filter lands BEFORE the walk, so Catalyst
+    pushes it into the edge scan — with edges partitioned or bucketed by
+    pred at scale this is partition pruning, and every per-level frontier
+    join touches only the typed adjacency. Same caps/lineage-cut/early-
+    exit knobs as all_paths."""
+    return all_paths(
+        edges.where(F.col("pred") == pred), start_id, end_id, max_depth, **kwargs
+    )
+
+
 # -------------------------------------------------- A13/A14/G8 reports etc
 
 def chunk_similarity(

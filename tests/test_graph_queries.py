@@ -312,3 +312,19 @@ def test_consistency_issues_reference_semantics(spark):
         ("missing_tail_entity", "a|ghost|near"): 2,  # both occurrences missing
         ("self_loop", "b"): 1,
     }
+
+
+def test_paths_with_relation_type(spark):
+    """Round 5: typed path walk (find_paths_with_relation_type,
+    graph_path_finder.py:157-222) traverses ONLY the given pred — a
+    shortcut via another relation type must not appear."""
+    from agraph_spark.operators.graph_queries import paths_with_relation_type
+
+    edges = spark.createDataFrame(
+        [("a", "b", "contains"), ("b", "c", "contains"),
+         ("a", "c", "related_to")],  # shortcut via the wrong type
+        "head_id string, tail_id string, pred string")
+    got = {(tuple(r.path), r.depth) for r in
+           paths_with_relation_type(edges, "a", "c", "contains", max_depth=3).collect()}
+    assert got == {(("a", "b", "c"), 2)}
+    assert paths_with_relation_type(edges, "a", "c", "nope", max_depth=3).count() == 0
