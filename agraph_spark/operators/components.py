@@ -68,6 +68,7 @@ def connected_components(
     dst: str = "tail_id",
     max_iter: int = 25,
     checkpoint_dir: str | None = None,
+    small_graph_threshold: int | None = 250_000,
 ) -> DataFrame:
     """Undirected connected components: (entity_id, component) where
     component = min entity_id in the component.
@@ -75,7 +76,17 @@ def connected_components(
     Matches union-find semantics of the reference merge
     (llm_builders.py:519-531) and DFS components
     (graph_analyzer.py:173-204).
-    """
+
+    Adaptive execution (the AQE broadcast-cutover analog, same shape as
+    linking.canonical_mapping): the symmetrized edge count is already
+    materialized to size the loop, so the decision is free — under
+    ``small_graph_threshold`` sym pairs (~25 MB at the default) the
+    labels come from a driver-side union-find over the collected pairs
+    (milliseconds; the iterative loop pays seconds of per-job scheduling
+    overhead on graphs this small), with un-paired node ids labelled as
+    singletons WITHOUT collecting the node set (a left join). Larger
+    graphs — the 100 TB path — run the unchanged hash-min +
+    pointer-jumping loop. Equivalence is pytest-gated."""
     cut = lineage_cutter(edges, checkpoint_dir)
     # lineage-cut, not persisted: every round joins against sym, and a
     # persisted sym leaves its full logical subtree in every round's
@@ -93,7 +104,31 @@ def connected_components(
     if nodes is not None:
         ids = ids.unionByName(nodes.select("entity_id")).distinct()
     spark = edges.sparkSession
-    n_sym = sym.count()  # materializes the lazy cut; sizes the loop
+    n_sym = sym.count()  # materializes the lazy cut; sizes loop OR cutover
+    if small_graph_threshold is not None and n_sym <= small_graph_threshold:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for p in sym.collect():
+            ra, rb = find(p.a), find(p.b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        touched = {x: find(x) for x in list(parent)}
+        if touched:
+            mapping = spark.createDataFrame(
+                list(touched.items()), "entity_id string, component string")
+        else:
+            mapping = spark.createDataFrame([], "entity_id string, component string")
+        return ids.join(mapping, "entity_id", "left").select(
+            "entity_id", F.coalesce("component", "entity_id").alias("component"))
     with loop_shuffle_partitions(spark, n_sym):
         labels = _cc_loop(sym, ids, cut, max_iter)
     return labels

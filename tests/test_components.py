@@ -65,6 +65,19 @@ def test_components_vs_unionfind(spark, n, m, seed):
     want = py_components(nodes, edges)
     # same partitioning into components, with min-id canonical labels
     assert got == want
+    # the adaptive small-graph cutover (round 5) and the distributed
+    # hash-min loop must label identically — force the loop and compare
+    dist = {
+        r.entity_id: r.component
+        for r in connected_components(edf, ndf, small_graph_threshold=None).collect()
+    }
+    assert dist == want
+    # threshold below the sym count also forces the loop
+    forced = {
+        r.entity_id: r.component
+        for r in connected_components(edf, ndf, small_graph_threshold=1).collect()
+    }
+    assert forced == want
 
 
 @pytest.mark.parametrize("seed", [5, 6])
