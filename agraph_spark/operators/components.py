@@ -193,10 +193,17 @@ def bfs_distances(
     max_depth: int = 5,
     undirected: bool = True,
     checkpoint_dir: str | None = None,
+    small_graph_threshold: int | None = 250_000,
 ) -> DataFrame:
     """A9: unweighted BFS distance from start to all nodes within max_depth
     (graph_path_finder.py:44-103). Frontier-expansion joins with a visited
-    anti-join; at most max_depth iterations."""
+    anti-join; at most max_depth iterations.
+
+    Same adaptive cutover as connected_components: the adjacency count
+    already materializes the lazy cut, so under ``small_graph_threshold``
+    edges the walk runs as a driver-side BFS over the collected adjacency
+    (milliseconds vs one join-job per depth); larger graphs run the
+    unchanged frontier loop. Equivalence pytest-gated."""
     spark = edges.sparkSession
     cut = lineage_cutter(edges, checkpoint_dir)
 
@@ -211,7 +218,25 @@ def bfs_distances(
     adj = cut(adj.distinct(), eager=False)
     visited = spark.createDataFrame([(start_id, 0)], "entity_id string, dist int")
     frontier = visited
-    n_adj = adj.count()  # materializes the lazy cut; sizes the loop
+    n_adj = adj.count()  # materializes the lazy cut; sizes loop OR cutover
+    if small_graph_threshold is not None and n_adj <= small_graph_threshold:
+        nbrs: dict = {}
+        for p in adj.collect():
+            nbrs.setdefault(p.src, []).append(p.dst)
+        dist = {start_id: 0}
+        frontier_ids = [start_id]
+        for d in range(1, max_depth + 1):
+            nxt = []
+            for u in frontier_ids:
+                for v in nbrs.get(u, ()):
+                    if v not in dist:
+                        dist[v] = d
+                        nxt.append(v)
+            if not nxt:
+                break
+            frontier_ids = nxt
+        return spark.createDataFrame(
+            list(dist.items()), "entity_id string, dist int")
     with loop_shuffle_partitions(spark, n_adj):
         for d in range(1, max_depth + 1):
             nxt = (

@@ -88,6 +88,11 @@ def test_bfs_vs_python(spark, seed):
     got = {r.entity_id: r.dist for r in bfs_distances(edf, start, max_depth=5).collect()}
     want = py_bfs(nodes, edges, start, 5)
     assert got == want
+    # adaptive cutover (round 5) vs the distributed frontier loop
+    forced = {r.entity_id: r.dist for r in
+              bfs_distances(edf, start, max_depth=5,
+                            small_graph_threshold=None).collect()}
+    assert forced == want
 
 
 def test_degree_and_isolated(spark):
