@@ -2683,24 +2683,28 @@ def oracle_sql() -> dict[str, str]:
                    dim::INT AS dim, round(m, 4)::DOUBLE AS v
             FROM px""",
         "g_consistency_report": _GC + """
-            , mh AS (
-              SELECT 'missing_head_entity' AS issue_type,
-                     head_id || '|' || tail_id || '|' || pred AS item,
-                     count(*)::BIGINT AS n
-              FROM edges WHERE head_id NOT IN (SELECT entity_id FROM nodes)
+            , esig AS (
+              SELECT coalesce(head_id, '(null)') || '|' || coalesce(tail_id, '(null)')
+                       || '|' || coalesce(pred, '(null)') AS item,
+                     head_id, tail_id
+              FROM edges
+            ),
+            mh AS (
+              SELECT 'missing_head_entity' AS issue_type, item, count(*)::BIGINT AS n
+              FROM esig WHERE head_id IS NULL
+                OR head_id NOT IN (SELECT entity_id FROM nodes)
               GROUP BY 2
             ),
             mt AS (
-              SELECT 'missing_tail_entity', head_id || '|' || tail_id || '|' || pred,
-                     count(*)::BIGINT
-              FROM edges WHERE tail_id NOT IN (SELECT entity_id FROM nodes)
+              SELECT 'missing_tail_entity', item, count(*)::BIGINT
+              FROM esig WHERE tail_id IS NULL
+                OR tail_id NOT IN (SELECT entity_id FROM nodes)
               GROUP BY 2
             ),
             dup AS (
               SELECT 'duplicate_relation', item, n FROM (
-                SELECT head_id || '|' || tail_id || '|' || pred AS item,
-                       (count(*) - 1)::BIGINT AS n
-                FROM edges GROUP BY 1) WHERE n > 0
+                SELECT item, (count(*) - 1)::BIGINT AS n
+                FROM esig GROUP BY 1) WHERE n > 0
             ),
             sl AS (
               SELECT 'self_loop', head_id, count(*)::BIGINT

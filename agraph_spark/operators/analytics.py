@@ -233,7 +233,12 @@ def graph_metrics(
         edges.where(F.col("head_id") == F.col("tail_id"))
         .groupBy(F.col("head_id").alias("entity_id")).agg(F.count("*").alias("sc"))
     )
-    deg = (
+    from agraph_spark import caching
+
+    # deg feeds two consumers (the avg/max/min aggregate and the top-5
+    # central sort) in one materializing job — a shallow plan with many
+    # consumers is exactly the persist-is-right case (CLAUDE.md)
+    deg = caching.track(
         nodes.select("entity_id")
         .join(hd, "entity_id", "left").join(tl, "entity_id", "left")
         .join(sl, "entity_id", "left")

@@ -106,32 +106,48 @@ def connected_components(
     spark = edges.sparkSession
     n_sym = sym.count()  # materializes the lazy cut; sizes loop OR cutover
     if small_graph_threshold is not None and n_sym <= small_graph_threshold:
-        parent: dict = {}
+        touched = driver_union_find((p.a, p.b) for p in sym.collect())
+        from pyspark.sql import types as T
 
-        def find(x):
-            r = x
-            while parent.get(r, r) != r:
-                r = parent[r]
-            while parent.get(x, x) != x:
-                parent[x], x = r, parent[x]
-            return r
-
-        for p in sym.collect():
-            ra, rb = find(p.a), find(p.b)
-            if ra != rb:
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
-        touched = {x: find(x) for x in list(parent)}
-        if touched:
-            mapping = spark.createDataFrame(
-                list(touched.items()), "entity_id string, component string")
-        else:
-            mapping = spark.createDataFrame([], "entity_id string, component string")
+        id_type = ids.schema[0].dataType  # preserve non-string id types
+        schema = T.StructType([
+            T.StructField("entity_id", id_type),
+            T.StructField("component", id_type),
+        ])
+        mapping = spark.createDataFrame(list(touched.items()), schema)
         return ids.join(mapping, "entity_id", "left").select(
             "entity_id", F.coalesce("component", "entity_id").alias("component"))
     with loop_shuffle_partitions(spark, n_sym):
         labels = _cc_loop(sym, ids, cut, max_iter)
     return labels
+
+
+def driver_union_find(pairs) -> dict:
+    """Union-find with union-by-min and path compression over an iterable
+    of (a, b) pairs: returns {id: root} for every non-root id, where the
+    root of each set is its MINIMUM element — the same labeling the
+    distributed hash-min loop converges to. Shared by the adaptive
+    small-graph cutovers here and in linking.canonical_mapping (one copy
+    of a subtle invariant). Pairs containing None are skipped (None is
+    never a node id; the distributed sym filters them)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        if a is None or b is None:
+            continue
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in list(parent)}
 
 
 def _cc_loop(sym: DataFrame, ids: DataFrame, cut, max_iter: int) -> DataFrame:
@@ -222,6 +238,11 @@ def bfs_distances(
     if small_graph_threshold is not None and n_adj <= small_graph_threshold:
         nbrs: dict = {}
         for p in adj.collect():
+            # match the loop's null semantics exactly: a null dst can be
+            # REACHED (it lands in visited), but a null src never joins,
+            # so nothing is reachable THROUGH it — skip it as a hub key
+            if p.src is None:
+                continue
             nbrs.setdefault(p.src, []).append(p.dst)
         dist = {start_id: 0}
         frontier_ids = [start_id]

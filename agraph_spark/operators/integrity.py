@@ -112,7 +112,11 @@ def consistency_issues(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     - self_loop: per entity with head == tail edges, n = loop count.
     """
     ids = nodes.select("entity_id")
-    sig = F.concat_ws("|", "head_id", "tail_id", "pred")
+    # concat_ws silently SKIPS nulls (signatures would collide and diverge
+    # from the ||-based oracle) — coalesce every part to a sentinel
+    sig = F.concat_ws("|", *[
+        F.coalesce(F.col(c), F.lit("(null)")) for c in ("head_id", "tail_id", "pred")
+    ])
     mh = (
         edges.join(ids.withColumnRenamed("entity_id", "head_id"), "head_id", "left_anti")
         .groupBy(sig.alias("item")).agg(F.count("*").alias("n"))

@@ -233,29 +233,14 @@ def canonical_mapping(
     unchanged: that is the 100 TB path when someone links without a
     candidate bound. Pairs with a null id are skipped (a null is never a
     mergeable entity id)."""
+    from .components import driver_union_find
+
     spark = confirmed_pairs.sparkSession
     if small_graph_threshold is not None:
         pairs = confirmed_pairs.limit(small_graph_threshold + 1).collect()
         if len(pairs) <= small_graph_threshold:
-            pairs = [p for p in pairs if p.id_a is not None and p.id_b is not None]
-            parent: dict[str, str] = {}
-
-            def find(x: str) -> str:
-                r = x
-                while parent.get(r, r) != r:
-                    r = parent[r]
-                while parent.get(x, x) != x:
-                    parent[x], x = r, parent[x]
-                return r
-
-            for p in pairs:
-                a, b = find(p.id_a), find(p.id_b)
-                if a != b:
-                    # union by min so the root IS the canonical id
-                    lo, hi = (a, b) if a < b else (b, a)
-                    parent[hi] = lo
-            mapping = [(x, c) for x in list(parent)
-                       if (c := find(x)) != x]
+            touched = driver_union_find((p.id_a, p.id_b) for p in pairs)
+            mapping = [(x, c) for x, c in touched.items() if x != c]
             if not mapping:
                 return spark.createDataFrame(
                     [], "entity_id string, canonical_id string")

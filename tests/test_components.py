@@ -249,3 +249,25 @@ def test_bounded_cycles_hub_cap(spark, caplog):
     assert capped <= want
     assert ("a1", 3) in capped
     assert any("dropping" in r.message for r in caplog.records)
+
+
+def test_cutover_null_and_type_edges(spark):
+    """Round-5 review fixes: (1) BFS must not traverse THROUGH a null id
+    on either path (null can be reached, never expanded); (2) the CC
+    cutover must preserve non-string id types like the loop does."""
+    edf = spark.createDataFrame(
+        [("x", None), (None, "y")], "head_id string, tail_id string")
+    for thr in (250_000, None):
+        got = {r.entity_id: r.dist for r in
+               bfs_distances(edf, "x", max_depth=4,
+                             small_graph_threshold=thr).collect()}
+        assert got == {"x": 0, None: 1}, (thr, got)
+
+    ints = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "id_a long, id_b long")
+    small = connected_components(ints, src="id_a", dst="id_b")
+    assert dict(small.dtypes)["component"] == "bigint"
+    got_s = {r.entity_id: r.component for r in small.collect()}
+    got_d = {r.entity_id: r.component for r in
+             connected_components(ints, src="id_a", dst="id_b",
+                                  small_graph_threshold=None).collect()}
+    assert got_s == got_d == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
