@@ -344,12 +344,65 @@ def _cap_frontier_pivot(
     ), n_live - int(stats.n_drop)
 
 
+def _driver_bounded_cycles(
+    pairs: list, max_len: int, cap: int | None, log_dropped: bool = True
+) -> set | None:
+    """Driver-side mirror of the bounded_cycles level loop over collected
+    trimmed edges: same canonical-rotation filter, same per-pivot cap with
+    the same (pivot='last', order='nodes') deterministic ordering, so the
+    two paths emit IDENTICAL (start, len) sets — including when the cap
+    drops paths. Returns None if the frontier exceeds a hard memory bound
+    (dense graph): the caller then runs the distributed loop instead."""
+    FRONTIER_BOUND = 2_000_000
+    adj: dict = {}
+    eset = set()
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        eset.add((a, b))
+    out: set = set()
+    frontier = [(a, b, (a, b)) for (a, b) in eset if b > a]
+    for length in range(2, max_len + 1):
+        for s, last, _ in frontier:
+            if (last, s) in eset:
+                out.add((s, length))
+        if length == max_len:
+            break
+        if cap is not None:
+            by_pivot: dict = {}
+            for t in frontier:
+                by_pivot.setdefault(t[1], []).append(t)
+            frontier = []
+            n_drop = 0
+            for lst in by_pivot.values():
+                if len(lst) > cap:
+                    n_drop += len(lst) - cap
+                    lst = sorted(lst, key=lambda t: t[2])[:cap]
+                frontier.extend(lst)
+            if n_drop and log_dropped:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "bounded_cycles: dropping %d paths above cap %d per pivot "
+                    "(paths through capped hubs may be missed)", n_drop, cap,
+                )
+        nxt = []
+        for s, last, nodes in frontier:
+            for b in adj.get(last, ()):
+                if b > s and b not in nodes:
+                    nxt.append((s, b, nodes + (b,)))
+            if len(nxt) > FRONTIER_BOUND:
+                return None
+        frontier = nxt
+    return out
+
+
 def bounded_cycles(
     edges: DataFrame,
     max_len: int = 5,
     max_paths_per_pivot: int | None = 100_000,
     log_dropped: bool = True,
     checkpoint_dir: str | None = None,
+    small_graph_threshold: int | None = 250_000,
 ) -> DataFrame:
     """A11: directed simple cycles of length 2..max_len as
     (cycle_start, cycle_len), canonicalized so cycle_start = min node id in
@@ -392,6 +445,28 @@ def bounded_cycles(
         .select("a", "b"),
         eager=False,
     )
+    # adaptive cutover (same shape as connected_components/bfs_distances):
+    # the trimmed-edge count materializes the cut; under the threshold the
+    # whole level loop runs on the driver with IDENTICAL close/cap/extend
+    # semantics (falls back to the loop if a dense graph blows the
+    # frontier bound). Cycle enumeration at bench scale was paying one
+    # join-job + one cap aggregate per level on a few-thousand-edge graph.
+    if small_graph_threshold is not None:
+        n_e = e.count()
+        if n_e <= small_graph_threshold:
+            got = _driver_bounded_cycles(
+                [(p.a, p.b) for p in e.collect()], max_len,
+                max_paths_per_pivot, log_dropped,
+            )
+            if got is not None:
+                spark = edges.sparkSession
+                from pyspark.sql import types as T
+
+                schema = T.StructType([
+                    T.StructField("cycle_start", e.schema[0].dataType),
+                    T.StructField("cycle_len", T.IntegerType()),
+                ])
+                return spark.createDataFrame(sorted(got), schema)
     frontier = e.where(F.col("b") > F.col("a")).select(
         F.col("a").alias("start"), F.col("b").alias("last"),
         F.array("a", "b").alias("nodes"),

@@ -219,6 +219,10 @@ def test_bounded_cycles_matches_bruteforce(spark):
     assert any(l >= 4 for _, l in want), "fixture must contain 4/5-cycles"
     got = {(r.cycle_start, r.cycle_len) for r in bounded_cycles(edf).collect()}
     assert got == want
+    # adaptive cutover (round 5) vs the forced distributed level loop
+    forced = {(r.cycle_start, r.cycle_len) for r in
+              bounded_cycles(edf, small_graph_threshold=None).collect()}
+    assert forced == want
 
 
 def test_bounded_cycles_hub_cap(spark, caplog):
@@ -249,6 +253,11 @@ def test_bounded_cycles_hub_cap(spark, caplog):
     assert capped <= want
     assert ("a1", 3) in capped
     assert any("dropping" in r.message for r in caplog.records)
+    # capping must be deterministic AND identical on both execution paths
+    forced_capped = {(r.cycle_start, r.cycle_len) for r in
+                     bounded_cycles(edf, max_paths_per_pivot=5,
+                                    small_graph_threshold=None).collect()}
+    assert forced_capped == capped
 
 
 def test_cutover_null_and_type_edges(spark):
