@@ -137,6 +137,70 @@ def merge_graphs(
 
 # -------------------------------------------------------------- A10 paths
 
+def _driver_all_paths(
+    pairs: list,
+    start_id: str,
+    targets: set,
+    max_depth: int,
+    cap: int | None,
+    stop_at_first_hit: bool,
+    multi: bool,
+    log_dropped: bool = True,
+    op: str = "all_paths",
+) -> list | None:
+    """Driver-side mirror of the all_paths / all_paths_multi level loop
+    over a collected distinct adjacency: identical cap-then-extend order,
+    identical per-pivot (node, path-order) capping, identical early-exit
+    and stop-at-target semantics, so both execution paths emit the same
+    rows. Returns None when a dense graph blows the frontier bound — the
+    caller falls back to the distributed loop."""
+    FRONTIER_BOUND = 2_000_000
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+    frontier = [(start_id, (start_id,))]
+    found: list = []
+    for _ in range(max_depth):
+        if cap is not None:
+            by_pivot: dict = {}
+            for t in frontier:
+                by_pivot.setdefault(t[0], []).append(t)
+            frontier = []
+            n_drop = 0
+            for lst in by_pivot.values():
+                if len(lst) > cap:
+                    n_drop += len(lst) - cap
+                    lst = sorted(lst, key=lambda t: t[1])[:cap]
+                frontier.extend(lst)
+            if n_drop and log_dropped:
+                import logging
+
+                logging.getLogger(
+                    "agraph_spark.operators.components"
+                ).warning(
+                    "%s: dropping %d paths above cap %d per pivot "
+                    "(paths through capped hubs may be missed)", op, n_drop, cap,
+                )
+        if not frontier:
+            break
+        stepped = []
+        for node, path in frontier:
+            for dst in adj.get(node, ()):
+                if dst not in path:
+                    stepped.append((dst, path + (dst,)))
+            if len(stepped) > FRONTIER_BOUND:
+                return None
+        hits = [t for t in stepped if t[0] in targets]
+        found.extend(hits)
+        if multi:
+            frontier = stepped
+        else:
+            if stop_at_first_hit and (hits or len(stepped) == len(hits)):
+                return found
+            frontier = [t for t in stepped if t[0] not in targets]
+    return found
+
+
 def all_paths(
     edges: DataFrame,
     start_id: str,
@@ -147,6 +211,7 @@ def all_paths(
     log_dropped: bool = True,
     checkpoint_dir: str | None = None,
     stop_at_first_hit: bool = False,
+    small_graph_threshold: int | None = 250_000,
 ) -> DataFrame:
     """A10 (graph_path_finder.py:105-155): every simple directed path
     start->end up to max_depth, as (path array, depth). Bounded self-join
@@ -169,6 +234,21 @@ def all_paths(
     adj = edges.select(F.col("head_id").alias("src"), F.col("tail_id").alias("dst")).distinct()
     cut = lineage_cutter(edges, checkpoint_dir)
     spark = edges.sparkSession
+    # adaptive cutover (same family as components.py): under the edge
+    # threshold the level loop runs on the driver with identical
+    # cap/extend/early-exit semantics (dense-graph frontier bound falls
+    # back to the distributed loop)
+    if small_graph_threshold is not None and adj.count() <= small_graph_threshold:
+        got = _driver_all_paths(
+            [(p.src, p.dst) for p in adj.collect()], start_id, {end_id},
+            max_depth, max_paths_per_pivot, stop_at_first_hit, False,
+            log_dropped, "all_paths",
+        )
+        if got is not None:
+            rows = [(list(path), len(path) - 1) for _, path in got]
+            if not rows:
+                return spark.createDataFrame([], "path array<string>, depth int")
+            return spark.createDataFrame(rows, "path array<string>, depth int")
     frontier = spark.createDataFrame([(start_id, [start_id])], "node string, path array<string>")
     found = None
     for _ in range(max_depth):
@@ -210,6 +290,7 @@ def all_paths_multi(
     max_paths_per_pivot: int | None = 100_000,
     log_dropped: bool = True,
     checkpoint_dir: str | None = None,
+    small_graph_threshold: int | None = 250_000,
 ) -> DataFrame:
     """A10 set-target variant: every simple path start -> ANY node of
     ``targets`` (a one-column DataFrame of ids) up to max_depth, as
@@ -224,6 +305,25 @@ def all_paths_multi(
     cut = lineage_cutter(edges, checkpoint_dir)
     spark = edges.sparkSession
     tgt = targets.select(F.col(targets.columns[0]).alias("node")).distinct()
+    if small_graph_threshold is not None and adj.count() <= small_graph_threshold:
+        # bound the target collect too (caller-supplied frame): a target
+        # set larger than the threshold keeps the distributed path
+        t_rows = tgt.limit(small_graph_threshold + 1).collect()
+        tset = {r.node for r in t_rows} if len(t_rows) <= small_graph_threshold else None
+    else:
+        tset = None
+    if tset is not None:
+        got = _driver_all_paths(
+            [(p.src, p.dst) for p in adj.collect()], start_id, tset,
+            max_depth, max_paths_per_pivot, False, True,
+            log_dropped, "all_paths_multi",
+        )
+        if got is not None:
+            rows = [(node, list(path), len(path) - 1) for node, path in got]
+            schema = "target string, path array<string>, depth int"
+            if not rows:
+                return spark.createDataFrame([], schema)
+            return spark.createDataFrame(rows, schema)
     frontier = spark.createDataFrame([(start_id, [start_id])], "node string, path array<string>")
     found = None
     for _ in range(max_depth):

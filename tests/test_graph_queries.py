@@ -106,6 +106,12 @@ def test_all_paths_hub_skew_completes_bounded(spark):
            all_paths(tri, "a", "z", max_depth=3,
                      max_paths_per_pivot=2, log_dropped=False).collect()}
     assert len(got) == 2 and all(p[0] == "a" and p[-1] == "z" for p in got)
+    # the adaptive driver path and the forced distributed loop must emit
+    # identical rows, INCLUDING which 2 paths survive the cap
+    forced = {tuple(r.path) for r in
+              all_paths(tri, "a", "z", max_depth=3, max_paths_per_pivot=2,
+                        log_dropped=False, small_graph_threshold=None).collect()}
+    assert forced == got
 
 
 def test_chunk_similarity(spark):
@@ -253,6 +259,14 @@ def test_all_paths_stop_at_first_hit(spark):
     # dead-end early break: frontier empties before max_depth
     assert all_paths(edges, "n", "a", max_depth=4,
                      stop_at_first_hit=True).count() == 0
+    # both execution paths agree on the eager and early-exit variants
+    for kw in ({}, {"stop_at_first_hit": True}):
+        drv = {(tuple(r.path), r.depth) for r in
+               all_paths(edges, "a", "z", max_depth=4, **kw).collect()}
+        dist = {(tuple(r.path), r.depth) for r in
+                all_paths(edges, "a", "z", max_depth=4,
+                          small_graph_threshold=None, **kw).collect()}
+        assert drv == dist
 
 
 def test_graph_metrics_reference_semantics(spark):
