@@ -344,6 +344,36 @@ def _cap_frontier_pivot(
     ), n_live - int(stats.n_drop)
 
 
+def _cap_frontier_driver(
+    frontier: list, pivot_ix: int, order_ix: int, cap: int | None,
+    op: str, log_dropped: bool,
+) -> list:
+    """Driver-side twin of _cap_frontier_pivot: keep at most ``cap``
+    tuples per pivot value, smallest order key first, logging the exact
+    drop count with the same message. ONE implementation shared by every
+    driver mirror so cap semantics cannot diverge between them."""
+    if cap is None:
+        return frontier
+    by_pivot: dict = {}
+    for t in frontier:
+        by_pivot.setdefault(t[pivot_ix], []).append(t)
+    out: list = []
+    n_drop = 0
+    for lst in by_pivot.values():
+        if len(lst) > cap:
+            n_drop += len(lst) - cap
+            lst = sorted(lst, key=lambda t: t[order_ix])[:cap]
+        out.extend(lst)
+    if n_drop and log_dropped:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%s: dropping %d paths above cap %d per pivot "
+            "(paths through capped hubs may be missed)", op, n_drop, cap,
+        )
+    return out
+
+
 def _driver_bounded_cycles(
     pairs: list, max_len: int, cap: int | None, log_dropped: bool = True
 ) -> set | None:
@@ -367,24 +397,8 @@ def _driver_bounded_cycles(
                 out.add((s, length))
         if length == max_len:
             break
-        if cap is not None:
-            by_pivot: dict = {}
-            for t in frontier:
-                by_pivot.setdefault(t[1], []).append(t)
-            frontier = []
-            n_drop = 0
-            for lst in by_pivot.values():
-                if len(lst) > cap:
-                    n_drop += len(lst) - cap
-                    lst = sorted(lst, key=lambda t: t[2])[:cap]
-                frontier.extend(lst)
-            if n_drop and log_dropped:
-                import logging
-
-                logging.getLogger(__name__).warning(
-                    "bounded_cycles: dropping %d paths above cap %d per pivot "
-                    "(paths through capped hubs may be missed)", n_drop, cap,
-                )
+        frontier = _cap_frontier_driver(
+            frontier, 1, 2, cap, "bounded_cycles", log_dropped)
         nxt = []
         for s, last, nodes in frontier:
             for b in adj.get(last, ()):

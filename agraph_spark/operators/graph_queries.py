@@ -154,33 +154,23 @@ def _driver_all_paths(
     and stop-at-target semantics, so both execution paths emit the same
     rows. Returns None when a dense graph blows the frontier bound — the
     caller falls back to the distributed loop."""
+    from .components import _cap_frontier_driver
+
     FRONTIER_BOUND = 2_000_000
     adj: dict = {}
     for a, b in pairs:
+        # null semantics must mirror the loop exactly: a null dst is
+        # dropped by the loop's ~array_contains(path, dst) (null-valued
+        # predicate filters the row), and a null src never equi-joins —
+        # so null endpoints contribute nothing on either side
+        if a is None or b is None:
+            continue
         adj.setdefault(a, []).append(b)
+    targets = {t for t in targets if t is not None}  # left_semi never matches null
     frontier = [(start_id, (start_id,))]
     found: list = []
     for _ in range(max_depth):
-        if cap is not None:
-            by_pivot: dict = {}
-            for t in frontier:
-                by_pivot.setdefault(t[0], []).append(t)
-            frontier = []
-            n_drop = 0
-            for lst in by_pivot.values():
-                if len(lst) > cap:
-                    n_drop += len(lst) - cap
-                    lst = sorted(lst, key=lambda t: t[1])[:cap]
-                frontier.extend(lst)
-            if n_drop and log_dropped:
-                import logging
-
-                logging.getLogger(
-                    "agraph_spark.operators.components"
-                ).warning(
-                    "%s: dropping %d paths above cap %d per pivot "
-                    "(paths through capped hubs may be missed)", op, n_drop, cap,
-                )
+        frontier = _cap_frontier_driver(frontier, 0, 1, cap, op, log_dropped)
         if not frontier:
             break
         stepped = []
@@ -237,18 +227,22 @@ def all_paths(
     # adaptive cutover (same family as components.py): under the edge
     # threshold the level loop runs on the driver with identical
     # cap/extend/early-exit semantics (dense-graph frontier bound falls
-    # back to the distributed loop)
-    if small_graph_threshold is not None and adj.count() <= small_graph_threshold:
-        got = _driver_all_paths(
-            [(p.src, p.dst) for p in adj.collect()], start_id, {end_id},
-            max_depth, max_paths_per_pivot, stop_at_first_hit, False,
-            log_dropped, "all_paths",
-        )
-        if got is not None:
-            rows = [(list(path), len(path) - 1) for _, path in got]
-            if not rows:
-                return spark.createDataFrame([], "path array<string>, depth int")
-            return spark.createDataFrame(rows, "path array<string>, depth int")
+    # back to the distributed loop). The size probe is ONE truncated
+    # collect (CollectLimit stops scanning at threshold+1 rows at scale),
+    # not a full count whose result the big-graph path would discard.
+    if small_graph_threshold is not None:
+        a_rows = adj.limit(small_graph_threshold + 1).collect()
+        if len(a_rows) <= small_graph_threshold:
+            got = _driver_all_paths(
+                [(p.src, p.dst) for p in a_rows], start_id, {end_id},
+                max_depth, max_paths_per_pivot, stop_at_first_hit, False,
+                log_dropped, "all_paths",
+            )
+            if got is not None:
+                return spark.createDataFrame(
+                    [(list(path), len(path) - 1) for _, path in got],
+                    "path array<string>, depth int",
+                )
     frontier = spark.createDataFrame([(start_id, [start_id])], "node string, path array<string>")
     found = None
     for _ in range(max_depth):
@@ -305,25 +299,24 @@ def all_paths_multi(
     cut = lineage_cutter(edges, checkpoint_dir)
     spark = edges.sparkSession
     tgt = targets.select(F.col(targets.columns[0]).alias("node")).distinct()
-    if small_graph_threshold is not None and adj.count() <= small_graph_threshold:
+    if small_graph_threshold is not None:
+        a_rows = adj.limit(small_graph_threshold + 1).collect()
         # bound the target collect too (caller-supplied frame): a target
         # set larger than the threshold keeps the distributed path
         t_rows = tgt.limit(small_graph_threshold + 1).collect()
-        tset = {r.node for r in t_rows} if len(t_rows) <= small_graph_threshold else None
-    else:
-        tset = None
-    if tset is not None:
-        got = _driver_all_paths(
-            [(p.src, p.dst) for p in adj.collect()], start_id, tset,
-            max_depth, max_paths_per_pivot, False, True,
-            log_dropped, "all_paths_multi",
-        )
-        if got is not None:
-            rows = [(node, list(path), len(path) - 1) for node, path in got]
-            schema = "target string, path array<string>, depth int"
-            if not rows:
-                return spark.createDataFrame([], schema)
-            return spark.createDataFrame(rows, schema)
+        if (len(a_rows) <= small_graph_threshold
+                and len(t_rows) <= small_graph_threshold):
+            got = _driver_all_paths(
+                [(p.src, p.dst) for p in a_rows], start_id,
+                {r.node for r in t_rows},
+                max_depth, max_paths_per_pivot, False, True,
+                log_dropped, "all_paths_multi",
+            )
+            if got is not None:
+                return spark.createDataFrame(
+                    [(node, list(path), len(path) - 1) for node, path in got],
+                    "target string, path array<string>, depth int",
+                )
     frontier = spark.createDataFrame([(start_id, [start_id])], "node string, path array<string>")
     found = None
     for _ in range(max_depth):

@@ -280,3 +280,53 @@ def test_cutover_null_and_type_edges(spark):
              connected_components(ints, src="id_a", dst="id_b",
                                   small_graph_threshold=None).collect()}
     assert got_s == got_d == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
+def test_adaptive_cutovers_actually_engage(spark, monkeypatch):
+    """CLAUDE.md standing rule: pair every fallback with a test that the
+    PRIMARY path engages. The parity tests above stay green even if a
+    cutover never fires (both sides would run the loop), so spy on each
+    driver mirror: it must be invoked on the default path and must NOT be
+    invoked when the threshold is disabled."""
+    from agraph_spark.operators import components as C
+    from agraph_spark.operators import graph_queries as GQ
+    from agraph_spark.operators import linking as L
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")],
+        "head_id string, tail_id string")
+    pairs = spark.createDataFrame([("a", "b"), ("b", "c")], "id_a string, id_b string")
+    calls: list = []
+
+    real_uf = C.driver_union_find
+    real_cy = C._driver_bounded_cycles
+    real_ap = GQ._driver_all_paths
+
+    monkeypatch.setattr(C, "driver_union_find",
+                        lambda *a, **k: calls.append("uf") or real_uf(*a, **k))
+    monkeypatch.setattr(L, "canonical_mapping", L.canonical_mapping)  # no-op pin
+    monkeypatch.setattr(C, "_driver_bounded_cycles",
+                        lambda *a, **k: calls.append("cy") or real_cy(*a, **k))
+    monkeypatch.setattr(GQ, "_driver_all_paths",
+                        lambda *a, **k: calls.append("ap") or real_ap(*a, **k))
+
+    C.connected_components(edges).collect()
+    assert "uf" in calls
+    C.bounded_cycles(edges).collect()
+    assert "cy" in calls
+    GQ.all_paths(edges, "a", "d").collect()
+    GQ.all_paths_multi(edges, "a",
+                       spark.createDataFrame([("d",)], "node string")).collect()
+    assert calls.count("ap") == 2
+    L.canonical_mapping(pairs).collect()  # uses the shared union-find
+    assert calls.count("uf") >= 2
+
+    # threshold disabled -> mirrors must NOT run. (canonical_mapping is
+    # excluded here: with ITS threshold off it delegates to
+    # connected_components, whose own default adaptive decision may
+    # legitimately engage — layered adaptivity, not a leak.)
+    calls.clear()
+    C.connected_components(edges, small_graph_threshold=None).collect()
+    C.bounded_cycles(edges, small_graph_threshold=None).collect()
+    GQ.all_paths(edges, "a", "d", small_graph_threshold=None).collect()
+    assert calls == []
