@@ -114,7 +114,15 @@ def connected_components(
             T.StructField("entity_id", id_type),
             T.StructField("component", id_type),
         ])
-        mapping = spark.createDataFrame(list(touched.items()), schema)
+        # Arrow-backed pandas createDataFrame: the plain-list path runs
+        # python-worker conversion tasks exposed to multi-second worker
+        # stalls (r6 event-log audit); the Arrow path converts driver-side
+        # with zero python tasks
+        import pandas as pd
+
+        pdf = pd.DataFrame(list(touched.items()),
+                           columns=["entity_id", "component"])
+        mapping = spark.createDataFrame(pdf, schema)
         return ids.join(mapping, "entity_id", "left").select(
             "entity_id", F.coalesce("component", "entity_id").alias("component"))
     with loop_shuffle_partitions(spark, n_sym):
@@ -232,7 +240,14 @@ def bfs_distances(
     # RDD-leaf adjacency keeps every depth's analyzed plan shallow (see
     # connected_components / bounded_cycles)
     adj = cut(adj.distinct(), eager=False)
-    visited = spark.createDataFrame([(start_id, 0)], "entity_id string, dist int")
+    from pyspark.sql import types as T
+
+    # id type derived from the edge schema (ADVICE r5: the hardcoded string
+    # schema broke non-string ids on this path only)
+    id_type = edges.schema["head_id"].dataType
+    seed_schema = T.StructType([
+        T.StructField("entity_id", id_type), T.StructField("dist", T.IntegerType())])
+    visited = spark.createDataFrame([(start_id, 0)], seed_schema)
     frontier = visited
     n_adj = adj.count()  # materializes the lazy cut; sizes loop OR cutover
     if small_graph_threshold is not None and n_adj <= small_graph_threshold:
@@ -256,8 +271,11 @@ def bfs_distances(
             if not nxt:
                 break
             frontier_ids = nxt
-        return spark.createDataFrame(
-            list(dist.items()), "entity_id string, dist int")
+        # Arrow-backed pandas createDataFrame (see connected_components)
+        import pandas as pd
+
+        pdf = pd.DataFrame(list(dist.items()), columns=["entity_id", "dist"])
+        return spark.createDataFrame(pdf, seed_schema)
     with loop_shuffle_partitions(spark, n_adj):
         for d in range(1, max_depth + 1):
             nxt = (
@@ -266,7 +284,15 @@ def bfs_distances(
                 )
                 .select(F.col("dst").alias("entity_id"))
                 .distinct()
-                .join(visited.select("entity_id"), "entity_id", "left_anti")
+                # null-safe anti-join (ADVICE r6): a plain left_anti never
+                # matches a null key, so a null dst reachable at several
+                # depths re-entered the frontier and emitted one (null, d)
+                # row per depth, while the driver mirror records null once.
+                # eqNullSafe dedupes null exactly like any other id.
+                .alias("n")
+                .join(visited.select("entity_id").alias("v"),
+                      F.col("n.entity_id").eqNullSafe(F.col("v.entity_id")),
+                      "left_anti")
                 .withColumn("dist", F.lit(d))
             )
             # lazy cut + full count: the emptiness check IS the job that
@@ -480,7 +506,13 @@ def bounded_cycles(
                     T.StructField("cycle_start", e.schema[0].dataType),
                     T.StructField("cycle_len", T.IntegerType()),
                 ])
-                return spark.createDataFrame(sorted(got), schema)
+                # Arrow-backed pandas createDataFrame (see
+                # connected_components)
+                import pandas as pd
+
+                pdf = pd.DataFrame(sorted(got),
+                                   columns=["cycle_start", "cycle_len"])
+                return spark.createDataFrame(pdf, schema)
     frontier = e.where(F.col("b") > F.col("a")).select(
         F.col("a").alias("start"), F.col("b").alias("last"),
         F.array("a", "b").alias("nodes"),

@@ -75,13 +75,25 @@ def ngram_jaccard_pairs(
     (hot-key/skew guard; such shingles are boilerplate and only inflate the
     candidate pair space quadratically)."""
     sh = track(shingle_table(df, id_col, text_col, n))
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
-    hot = (
-        sh.groupBy("shingle").agg(F.count("*").alias("df_cnt"))
-        .where(F.col("df_cnt") > max_shingle_docs)
-        .select("shingle")
+    # per-doc sizes persist too: the tiny aggregate feeds BOTH the doc_a and
+    # doc_b joins below — uncached it was computed twice (plan-audited r6)
+    sizes = track(sh.groupBy("doc").agg(F.count("*").alias("sz")))
+    # hot-shingle cap as a window count over the SAME key the self-join
+    # uses, not groupBy+anti-join: the anti-join variant re-computed the
+    # full hot aggregate once per self-join side (two extra passes over the
+    # shingle table, plan-audited r6); the window pays ONE exchange on
+    # shingle, and persisting the capped table lets both join sides scan
+    # the cache with the shingle partitioning preserved (same lesson as
+    # _cap_buckets / CLAUDE.md window-cap note). Semantics identical:
+    # count-per-shingle > max_shingle_docs rows dropped.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shingle")
+    filtered = track(
+        sh.withColumn("_df_cnt", F.count("*").over(w))
+        .where(F.col("_df_cnt") <= max_shingle_docs)
+        .drop("_df_cnt")
     )
-    filtered = sh.join(hot, "shingle", "left_anti")
     a = filtered.alias("a")
     b = filtered.alias("b")
     inter = (
@@ -223,7 +235,12 @@ def minhash_lsh_pairs(
     band_rows = sig.select(
         "doc", F.posexplode(F.array(*band_vals)).alias("band", "bucket")
     )
-    band_rows = _cap_buckets(band_rows, ["band", "bucket"], max_bucket_size, log_dropped)
+    # persist the capped band rows: the self-join below consumes them twice,
+    # and uncached each side re-ran the explode + window-cap subtree (one
+    # extra exchange + sort per side, plan-audited r6)
+    band_rows = track(
+        _cap_buckets(band_rows, ["band", "bucket"], max_bucket_size, log_dropped)
+    )
     a = band_rows.alias("a")
     b = band_rows.alias("b")
     cand = (
@@ -328,7 +345,9 @@ def simhash_near_pairs(
             )
         ).alias("band", "key"),
     )
-    bands = _cap_buckets(bands, ["band", "key"], max_bucket_size, log_dropped)
+    # persist the capped band rows (consumed by both self-join sides; see
+    # minhash_lsh_pairs)
+    bands = track(_cap_buckets(bands, ["band", "key"], max_bucket_size, log_dropped))
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, ["band", "key"])

@@ -59,6 +59,7 @@ def lsh_candidate_pairs(
     max_name_len: int = 32,
     max_name_words: int = 4,
     log_excluded: bool = False,
+    small_universe_threshold: int | None = 100_000,
 ) -> DataFrame:
     """D3 blocking via MinHash-LSH over name character 3-gram sets,
     restricted to same entity_type. Returns (id_a, id_b, name_a, name_b,
@@ -75,8 +76,32 @@ def lsh_candidate_pairs(
     quadratically, and is never a meaningful merge target. Measured: an
     unbounded self-join over a 150k-conversation node set ran minutes-to-
     hours; bounded, seconds. (The reference bounds the same work with its
-    max_merges=100 cap, entity_merger.py:296.)"""
+    max_merges=100 cap, entity_merger.py:296.)
+
+    Round-6 plan shape (guide §2.3/§2.4): the feature table is projected
+    to exactly the columns the join needs (the approxSimilarityJoin's
+    internal pair-distinct shuffles FULL structs of both sides — shipping
+    padded/grams there doubled the exchange) and persisted, so the
+    self-join's two sides scan one cache instead of recomputing
+    nodes -> grams -> TF twice. Measured 8.9-11.8 s -> 6.3-6.8 s at
+    sf0.1 with an identical pair set.
+
+    Adaptive execution (same cutover family as canonical_mapping /
+    connected_components): the linkable universe is bounded by DISTINCT
+    surface forms, not corpus size (849 rows at bench scale, 222 mappings
+    flat from 3k to 300k conversations), so the common case is a tiny
+    feature table where the distributed explode-join-distinct pays ~2 s of
+    pure scheduling. Under ``small_universe_threshold`` rows the banding
+    join runs on the driver over the COLLECTED model.transform output —
+    Spark's own hash values and feature indices, so no hash function is
+    reimplemented; the driver applies the identical candidate rule (any
+    shared (table, hash) bucket, strict keyDistance < threshold, same-type,
+    id_a < id_b). Equivalence is pytest-gated on forced both paths. Above
+    the threshold — the 100 TB path — the distributed join runs unchanged.
+    """
     from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    from ..caching import track
 
     linkable = (F.length("name_norm") <= max_name_len) & (
         F.size(F.split(F.col("name_norm"), r"\s+")) <= max_name_words
@@ -107,10 +132,23 @@ def lsh_candidate_pairs(
     ).where(F.size("grams") > 0)
 
     tf = HashingTF(inputCol="grams", outputCol="features", numFeatures=vocab_features, binary=True)
-    feat = tf.transform(prepared)
+    feat = track(tf.transform(prepared).select(
+        "entity_id", "name_norm", "entity_type", "features"))
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42)
     model = lsh.fit(feat)
-    joined = model.approxSimilarityJoin(feat, feat, max_jaccard_distance, distCol="lsh_distance")
+    hashed = model.transform(feat)
+    if small_universe_threshold is not None:
+        # count, not limit(n+1).collect(): CollectLimit's incremental
+        # partition scaling pays 3-4 sequential job rounds on a small
+        # cached frame (measured +1-2 s), while count materializes the
+        # cache in ONE fully-parallel job and the collect then reads it
+        n_feat = feat.count()
+        if n_feat <= small_universe_threshold:
+            rows = hashed.collect()
+            return _driver_lsh_pairs(
+                nodes.sparkSession, rows, max_jaccard_distance,
+                id_type=nodes.schema["entity_id"].dataType)
+    joined = model.approxSimilarityJoin(hashed, hashed, max_jaccard_distance, distCol="lsh_distance")
     return (
         joined.where(
             (F.col("datasetA.entity_id") < F.col("datasetB.entity_id"))
@@ -126,6 +164,67 @@ def lsh_candidate_pairs(
             "lsh_distance",
         )
     )
+
+
+def _driver_lsh_pairs(
+    spark, rows, max_jaccard_distance: float, id_type
+) -> DataFrame:
+    """Driver-side mirror of the approxSimilarityJoin candidate rule over
+    collected ``model.transform`` rows: two rows are candidates iff they
+    share at least one (hash-table index, hash value) bucket, and survive
+    iff keyDistance = 1 - |A∩B|/|A∪B| over the feature indices is STRICTLY
+    below the threshold (measured: a pair at exactly the threshold is
+    dropped by the Scala join). Same-type and id_a < id_b filters match
+    the distributed projection. All inputs (hash values, feature indices)
+    come from the fitted Spark model itself, so no hash function is
+    reimplemented and the two paths cannot drift."""
+    from pyspark.sql import types as T
+
+    buckets: dict = {}
+    for i, r in enumerate(rows):
+        for t, hv in enumerate(r.hashes):
+            buckets.setdefault((t, hv[0]), []).append(i)
+    cand: set = set()
+    for members in buckets.values():
+        if len(members) < 2:
+            continue
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                i, j = members[x], members[y]
+                a, b = rows[i], rows[j]
+                if a.entity_type != b.entity_type:
+                    continue
+                if a.entity_id == b.entity_id:
+                    continue
+                key = (i, j) if a.entity_id < b.entity_id else (j, i)
+                cand.add(key)
+    out = []
+    for i, j in cand:
+        a, b = rows[i], rows[j]
+        ia, ib = set(a.features.indices), set(b.features.indices)
+        union = len(ia | ib)
+        dist = 1.0 - (len(ia & ib) / union) if union else 1.0
+        if dist < max_jaccard_distance:
+            out.append((a.entity_id, b.entity_id, a.name_norm, b.name_norm,
+                        a.entity_type, b.entity_type, dist))
+    schema = T.StructType([
+        T.StructField("id_a", id_type),
+        T.StructField("id_b", id_type),
+        T.StructField("name_a", T.StringType()),
+        T.StructField("name_b", T.StringType()),
+        T.StructField("type_a", T.StringType()),
+        T.StructField("type_b", T.StringType()),
+        T.StructField("lsh_distance", T.DoubleType()),
+    ])
+    # Arrow-backed createDataFrame (pandas input): the plain list path
+    # parallelizes 32 pickled slices that every downstream consumer pays to
+    # unpickle JVM-side — measured 6.6 s in a single CollectLimit task at
+    # bench scale; the Arrow path ships the driver-sized pair set as one
+    # columnar batch
+    pdf = pd.DataFrame(
+        out, columns=["id_a", "id_b", "name_a", "name_b",
+                      "type_a", "type_b", "lsh_distance"])
+    return spark.createDataFrame(pdf, schema).coalesce(1)
 
 
 def name_similarity_col() -> F.Column:
@@ -233,6 +332,8 @@ def canonical_mapping(
     unchanged: that is the 100 TB path when someone links without a
     candidate bound. Pairs with a null id are skipped (a null is never a
     mergeable entity id)."""
+    from pyspark.sql import types as T
+
     from .components import driver_union_find
 
     spark = confirmed_pairs.sparkSession
@@ -241,11 +342,19 @@ def canonical_mapping(
         if len(pairs) <= small_graph_threshold:
             touched = driver_union_find((p.id_a, p.id_b) for p in pairs)
             mapping = [(x, c) for x, c in touched.items() if x != c]
-            if not mapping:
-                return spark.createDataFrame(
-                    [], "entity_id string, canonical_id string")
-            return spark.createDataFrame(
-                mapping, "entity_id string, canonical_id string")
+            # id type derived from the input (ADVICE r5: the string-only
+            # schema broke non-string ids on this path only); Arrow-backed
+            # pandas createDataFrame: the plain-list path runs python-worker
+            # conversion tasks that are exposed to multi-second worker
+            # stalls (r6 event-log audit), the Arrow path converts
+            # driver-side with zero python tasks
+            id_type = confirmed_pairs.schema["id_a"].dataType
+            schema = T.StructType([
+                T.StructField("entity_id", id_type),
+                T.StructField("canonical_id", id_type),
+            ])
+            pdf = pd.DataFrame(mapping, columns=["entity_id", "canonical_id"])
+            return spark.createDataFrame(pdf, schema).coalesce(1)
     labels = connected_components(confirmed_pairs, src="id_a", dst="id_b")
     return labels.select(
         "entity_id", F.col("component").alias("canonical_id")

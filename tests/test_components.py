@@ -330,3 +330,20 @@ def test_adaptive_cutovers_actually_engage(spark, monkeypatch):
     C.bounded_cycles(edges, small_graph_threshold=None).collect()
     GQ.all_paths(edges, "a", "d", small_graph_threshold=None).collect()
     assert calls == []
+
+
+def test_bfs_null_reachable_at_multiple_depths(spark):
+    """ADVICE r6: a null dst reachable at several depths must be recorded
+    ONCE (first depth) on BOTH paths — the plain left_anti never matched
+    the null key, so the distributed loop used to emit one (null, d) row
+    per depth while the driver mirror recorded it once."""
+    edf = spark.createDataFrame(
+        [("x", None), ("x", "y"), ("y", None), ("y", "z"), ("z", None)],
+        "head_id string, tail_id string")
+    want = {"x": 0, "y": 1, None: 1, "z": 2}
+    for thr in (250_000, None):
+        rows = bfs_distances(edf, "x", max_depth=5, undirected=False,
+                             small_graph_threshold=thr).collect()
+        got = {r.entity_id: r.dist for r in rows}
+        assert got == want, (thr, got)
+        assert len(rows) == len(want), (thr, rows)  # no duplicate null rows

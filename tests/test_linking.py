@@ -209,3 +209,48 @@ def test_name_similarity_matches_reference_hypothesis(spark):
             assert abs(r.sim - want) < 1e-9, (repr(r.name_a), repr(r.name_b), r.sim, want)
 
     check()
+
+
+def test_lsh_pairs_driver_cutover_equals_distributed(spark):
+    """Round 6: lsh_candidate_pairs' adaptive small-universe cutover (driver
+    banding over collected model.transform rows) must be row-identical —
+    including the lsh_distance doubles — to the distributed
+    approxSimilarityJoin, on a name soup with exact dups, near-dups,
+    substrings, cross-type name collisions and unicode."""
+    rows = [
+        ("Acme Corp", "organization"), ("Acme Corp.", "organization"),
+        ("Acme Corporation", "organization"), ("Acme Corp", "location"),
+        ("Globex Inc", "organization"), ("Globex Inc.", "organization"),
+        ("Paris", "location"), ("Paris City", "location"),
+        ("paris", "location"), ("zebra", "concept"), ("zebra!", "concept"),
+        ("华为技术", "organization"), ("华为技术有限公司", "organization"),
+        ("ab", "concept"), ("ba", "concept"), ("abc", "concept"),
+    ]
+    nodes = _nodes(spark, rows)
+    drv = lsh_candidate_pairs(nodes)
+    dist = lsh_candidate_pairs(nodes, small_universe_threshold=None)
+    key = lambda r: (r.id_a, r.id_b)
+    got_d = {key(r): r for r in drv.collect()}
+    got_x = {key(r): r for r in dist.collect()}
+    assert set(got_d) == set(got_x) and len(got_d) > 3
+    for k in got_d:
+        assert got_d[k].lsh_distance == got_x[k].lsh_distance, k
+        assert (got_d[k].name_a, got_d[k].name_b, got_d[k].type_a) == (
+            got_x[k].name_a, got_x[k].name_b, got_x[k].type_a)
+    # schema identical on both paths (nullability flags may differ; they
+    # carry no result content)
+    assert [(f.name, f.dataType) for f in drv.schema.fields] == [
+        (f.name, f.dataType) for f in dist.schema.fields]
+    # a threshold below the universe size forces the distributed path
+    forced = lsh_candidate_pairs(nodes, small_universe_threshold=2)
+    assert {key(r) for r in forced.collect()} == set(got_x)
+    # full chain agrees too
+    m_drv = {(r.entity_id, r.canonical_id) for r in link_entities(nodes).collect()}
+    from agraph_spark.operators.linking import score_candidates as _sc  # noqa: F401
+    import agraph_spark.operators.linking as L
+
+    pairs = L.score_candidates(dist, 0.7)
+    verified = L.verify_pairs_batched(pairs).where(F.col("is_duplicate"))
+    m_dist = {(r.entity_id, r.canonical_id)
+              for r in L.canonical_mapping(verified.select("id_a", "id_b")).collect()}
+    assert m_drv == m_dist
