@@ -78,35 +78,29 @@ def connected_components(
     (graph_analyzer.py:173-204).
 
     Adaptive execution (the AQE broadcast-cutover analog, same shape as
-    linking.canonical_mapping): the symmetrized edge count is already
-    materialized to size the loop, so the decision is free — under
-    ``small_graph_threshold`` sym pairs (~25 MB at the default) the
-    labels come from a driver-side union-find over the collected pairs
-    (milliseconds; the iterative loop pays seconds of per-job scheduling
-    overhead on graphs this small), with un-paired node ids labelled as
-    singletons WITHOUT collecting the node set (a left join). Larger
-    graphs — the 100 TB path — run the unchanged hash-min +
+    linking.canonical_mapping): the cutover probe counts the RAW
+    symmetrized pairs — a narrow, shuffle-free pass over the edge scan —
+    so the common small-graph case never pays the distinct exchange or
+    the lineage-cut checkpoint at all (r6: those existed only to serve
+    the loop). Under ``small_graph_threshold`` raw pairs (~25 MB at the
+    default) the labels come from a driver-side union-find over the
+    collected pairs (duplicate-tolerant, so no distinct is needed), with
+    un-paired node ids labelled as singletons WITHOUT collecting the node
+    set (a left join). Larger graphs — the 100 TB path — build the
+    deduplicated, lineage-cut adjacency and run the unchanged hash-min +
     pointer-jumping loop. Equivalence is pytest-gated."""
     cut = lineage_cutter(edges, checkpoint_dir)
-    # lineage-cut, not persisted: every round joins against sym, and a
-    # persisted sym leaves its full logical subtree in every round's
-    # analyzed plan (cache substitution happens at physical planning) —
-    # measured 5.5 -> 3.6 s warm at sf0.1 switching to an RDD-leaf cut,
-    # same lesson as bounded_cycles (PLANS.md round 3)
-    sym = cut(
+    raw = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .where(F.col("a").isNotNull() & F.col("b").isNotNull())
-        .distinct(),
-        eager=False,
     )
-    ids = sym.select(F.col("a").alias("entity_id")).distinct()
-    if nodes is not None:
-        ids = ids.unionByName(nodes.select("entity_id")).distinct()
     spark = edges.sparkSession
-    n_sym = sym.count()  # materializes the lazy cut; sizes loop OR cutover
-    if small_graph_threshold is not None and n_sym <= small_graph_threshold:
-        touched = driver_union_find((p.a, p.b) for p in sym.collect())
+    if small_graph_threshold is not None and raw.count() <= small_graph_threshold:
+        touched = driver_union_find((p.a, p.b) for p in raw.collect())
+        ids = raw.select(F.col("a").alias("entity_id")).distinct()
+        if nodes is not None:
+            ids = ids.unionByName(nodes.select("entity_id")).distinct()
         from pyspark.sql import types as T
 
         id_type = ids.schema[0].dataType  # preserve non-string id types
@@ -125,6 +119,16 @@ def connected_components(
         mapping = spark.createDataFrame(pdf, schema)
         return ids.join(mapping, "entity_id", "left").select(
             "entity_id", F.coalesce("component", "entity_id").alias("component"))
+    # lineage-cut, not persisted: every round joins against sym, and a
+    # persisted sym leaves its full logical subtree in every round's
+    # analyzed plan (cache substitution happens at physical planning) —
+    # measured 5.5 -> 3.6 s warm at sf0.1 switching to an RDD-leaf cut,
+    # same lesson as bounded_cycles (PLANS.md round 3)
+    sym = cut(raw.distinct(), eager=False)
+    ids = sym.select(F.col("a").alias("entity_id")).distinct()
+    if nodes is not None:
+        ids = ids.unionByName(nodes.select("entity_id")).distinct()
+    n_sym = sym.count()  # materializes the lazy cut; sizes the loop
     with loop_shuffle_partitions(spark, n_sym):
         labels = _cc_loop(sym, ids, cut, max_iter)
     return labels
@@ -223,23 +227,22 @@ def bfs_distances(
     (graph_path_finder.py:44-103). Frontier-expansion joins with a visited
     anti-join; at most max_depth iterations.
 
-    Same adaptive cutover as connected_components: the adjacency count
-    already materializes the lazy cut, so under ``small_graph_threshold``
-    edges the walk runs as a driver-side BFS over the collected adjacency
-    (milliseconds vs one join-job per depth); larger graphs run the
-    unchanged frontier loop. Equivalence pytest-gated."""
+    Same adaptive cutover as connected_components: the probe counts the
+    RAW (pre-distinct) adjacency — a narrow, shuffle-free pass — so under
+    ``small_graph_threshold`` edges the walk runs as a driver-side BFS
+    over the collected raw adjacency (duplicate rows are harmless to the
+    visited-set walk; no distinct exchange, no checkpoint) instead of one
+    join-job per depth; larger graphs build the deduplicated lineage-cut
+    adjacency and run the unchanged frontier loop. Equivalence
+    pytest-gated."""
     spark = edges.sparkSession
     cut = lineage_cutter(edges, checkpoint_dir)
 
-    adj = edges.select(F.col("head_id").alias("src"), F.col("tail_id").alias("dst"))
+    raw = edges.select(F.col("head_id").alias("src"), F.col("tail_id").alias("dst"))
     if undirected:
-        adj = adj.unionByName(
+        raw = raw.unionByName(
             edges.select(F.col("tail_id").alias("src"), F.col("head_id").alias("dst"))
         )
-    # lineage-cut, not persisted: joined against once per depth, and an
-    # RDD-leaf adjacency keeps every depth's analyzed plan shallow (see
-    # connected_components / bounded_cycles)
-    adj = cut(adj.distinct(), eager=False)
     from pyspark.sql import types as T
 
     # id type derived from the edge schema (ADVICE r5: the hardcoded string
@@ -247,12 +250,9 @@ def bfs_distances(
     id_type = edges.schema["head_id"].dataType
     seed_schema = T.StructType([
         T.StructField("entity_id", id_type), T.StructField("dist", T.IntegerType())])
-    visited = spark.createDataFrame([(start_id, 0)], seed_schema)
-    frontier = visited
-    n_adj = adj.count()  # materializes the lazy cut; sizes loop OR cutover
-    if small_graph_threshold is not None and n_adj <= small_graph_threshold:
+    if small_graph_threshold is not None and raw.count() <= small_graph_threshold:
         nbrs: dict = {}
-        for p in adj.collect():
+        for p in raw.collect():
             # match the loop's null semantics exactly: a null dst can be
             # REACHED (it lands in visited), but a null src never joins,
             # so nothing is reachable THROUGH it — skip it as a hub key
@@ -276,6 +276,13 @@ def bfs_distances(
 
         pdf = pd.DataFrame(list(dist.items()), columns=["entity_id", "dist"])
         return spark.createDataFrame(pdf, seed_schema)
+    # lineage-cut, not persisted: joined against once per depth, and an
+    # RDD-leaf adjacency keeps every depth's analyzed plan shallow (see
+    # connected_components / bounded_cycles)
+    adj = cut(raw.distinct(), eager=False)
+    visited = spark.createDataFrame([(start_id, 0)], seed_schema)
+    frontier = visited
+    n_adj = adj.count()  # materializes the lazy cut; sizes the loop
     with loop_shuffle_partitions(spark, n_adj):
         for d in range(1, max_depth + 1):
             nxt = (

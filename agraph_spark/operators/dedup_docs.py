@@ -94,6 +94,13 @@ def ngram_jaccard_pairs(
         .where(F.col("_df_cnt") <= max_shingle_docs)
         .drop("_df_cnt")
     )
+    # eager materialization: the final plan consumes filtered from both
+    # self-join sides and sh from both size joins — un-materialized, the
+    # branches RACE to build the same cached partitions (kernel work runs
+    # up to twice; same lesson as the pipeline kernel cache, r6). One
+    # count builds shingles + window cap once; measured 5.7 -> 3.5 s cold
+    # on the minhash twin of this pattern.
+    filtered.count()
     a = filtered.alias("a")
     b = filtered.alias("b")
     inter = (
@@ -241,6 +248,10 @@ def minhash_lsh_pairs(
     band_rows = track(
         _cap_buckets(band_rows, ["band", "bucket"], max_bucket_size, log_dropped)
     )
+    # eager materialization (see ngram_jaccard_pairs): builds the signature
+    # and capped-band caches ONCE before the self-join + verify branches
+    # would race them; measured 5.7 -> 3.5 s cold at sf0.1
+    band_rows.count()
     a = band_rows.alias("a")
     b = band_rows.alias("b")
     cand = (
@@ -348,6 +359,8 @@ def simhash_near_pairs(
     # persist the capped band rows (consumed by both self-join sides; see
     # minhash_lsh_pairs)
     bands = track(_cap_buckets(bands, ["band", "key"], max_bucket_size, log_dropped))
+    # eager materialization (see minhash_lsh_pairs)
+    bands.count()
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, ["band", "key"])

@@ -77,6 +77,13 @@ def build_kg(
             extracted = extract_documents_fused(reassemble_conversations(transcripts))
         if cache_documents:
             extracted = track(extracted)
+            # eager materialization: the triples plan consumes this cache
+            # from five branches (documents, entities, candidates, pattern
+            # and co-occurrence subtrees) that otherwise RACE to build the
+            # same cached partitions concurrently — the kernel runs up to
+            # twice per partition. One up-front count builds it once;
+            # measured 6.0 -> 3.0 s cold on the docs corpus (r6).
+            extracted.count()
         documents = extracted.select("conv_id", "text")
         entities = extracted.select(
             "conv_id", F.explode("ents").alias("e")
@@ -127,6 +134,8 @@ def build_triples_from_texts(documents: DataFrame, mode: str = "fused") -> DataF
         )
 
         extracted = track(extract_documents_fused(documents))
+        # eager: see build_kg — builds the racing-consumer kernel cache once
+        extracted.count()
         entities = extracted.select("conv_id", F.explode("ents").alias("e")).select(
             "conv_id", "e.name", "e.name_norm", "e.entity_type", "e.confidence",
             "e.entity_order",

@@ -122,14 +122,21 @@ def test_reliable_checkpoint_dir(spark, tmp_path):
         "head_id string, tail_id string")
     ckpt = str(tmp_path / "ckpt")
     local = {(r.entity_id, r.component) for r in connected_components(edges).collect()}
+    # r6: the small-graph driver path no longer checkpoints at all, so the
+    # reliable-checkpoint machinery is exercised on the LOOP path
+    # (threshold disabled) — which also makes this a cross-path
+    # equivalence check
     reliable = {(r.entity_id, r.component)
-                for r in connected_components(edges, checkpoint_dir=ckpt).collect()}
+                for r in connected_components(
+                    edges, checkpoint_dir=ckpt,
+                    small_graph_threshold=None).collect()}
     assert local == reliable
     # the reliable run actually wrote checkpoint files
     assert any(files for _, _, files in os.walk(ckpt))
     b1 = {(r.entity_id, r.dist) for r in bfs_distances(edges, "a").collect()}
     b2 = {(r.entity_id, r.dist)
-          for r in bfs_distances(edges, "a", checkpoint_dir=ckpt).collect()}
+          for r in bfs_distances(edges, "a", checkpoint_dir=ckpt,
+                                 small_graph_threshold=None).collect()}
     assert b1 == b2
 
 

@@ -138,5 +138,53 @@ def main() -> None:
         print(f"iter {it}: current {ta:.2f}s  v2 {tb:.2f}s", flush=True)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and not os.environ.get("EXP_MODE"):
     main()
+
+
+def triples_v3(documents):
+    """Eager cache materialization: count() res/hits caches before their
+    double-consumer joins so the two union branches don't race to build
+    the same cached partitions concurrently (duplicated work)."""
+    from agraph_spark.operators.relations import (
+        cooccurrence_relations,
+        pattern_relations,
+    )
+
+    documents = spread(documents)
+    extracted = track(extract_documents_fused(documents))
+    extracted.count()  # eager: kernel cache built once, no racing branches
+    entities = extracted.select("conv_id", F.explode("ents").alias("e")).select(
+        "conv_id", "e.name", "e.name_norm", "e.entity_type", "e.confidence",
+        "e.entity_order")
+    candidates = extracted.select("conv_id", F.explode("cands").alias("c")).select(
+        "conv_id", "c.pred", "c.head_text", "c.tail_text")
+    pat = pattern_relations(candidates, entities)
+    coo = cooccurrence_relations(extracted.select("conv_id", "text"), entities)
+    return to_triples(validate_relations(pat.unionByName(coo)))
+
+
+def main_v3() -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="exp_rel3", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+    build_kg(transcripts_df(spark, n_convs=200, seed=1), cache_documents=False).triples.count()
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("conv_id"), "text")
+    from agraph_spark.pipeline import build_triples_from_texts
+    for it in range(3):
+        t0 = time.time()
+        build_triples_from_texts(docs).count()
+        ta = time.time() - t0
+        release_caches(spark)
+        t0 = time.time()
+        triples_v3(docs).count()
+        tb = time.time() - t0
+        release_caches(spark)
+        print(f"iter {it}: current {ta:.2f}s  v3-eager {tb:.2f}s", flush=True)
+
+
+if os.environ.get("EXP_MODE") == "v3":
+    main_v3()
