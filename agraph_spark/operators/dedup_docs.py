@@ -74,33 +74,25 @@ def ngram_jaccard_pairs(
     ``max_shingle_docs`` drops shingles present in more than that many docs
     (hot-key/skew guard; such shingles are boilerplate and only inflate the
     candidate pair space quadratically)."""
+    # Round-6 note: this operator is intentionally UNCHANGED from round 5.
+    # Two restructures were tried and reverted with sf1 A/B evidence:
+    # (1) the hot-shingle cap as a window count (exchange reuse with the
+    # self-join) full-sorts the 15M-row sf1 shingle table — 29.5 s -> 142 s;
+    # the cap must stay aggregation-shaped (map-side partial agg) at scale.
+    # (2) eager sh materialization + tracked sizes/hot (the racing-cache
+    # fix that helps minhash) costs an extra full pass over the shingle
+    # table at sf1 (~15-25% slower, A/B/A 42.4/31.6/35.9 vs r5) while
+    # buying nothing at sf0.1 — the duplicated aggregate subtrees are
+    # cheap partial aggregations, and the inverted-index self-join
+    # dominates at every scale.
     sh = track(shingle_table(df, id_col, text_col, n))
-    # per-doc sizes persist too: the tiny aggregate feeds BOTH the doc_a and
-    # doc_b joins below — uncached it was computed twice (plan-audited r6)
-    sizes = track(sh.groupBy("doc").agg(F.count("*").alias("sz")))
-    # hot-shingle cap as a window count over the SAME key the self-join
-    # uses, not groupBy+anti-join: the anti-join variant re-computed the
-    # full hot aggregate once per self-join side (two extra passes over the
-    # shingle table, plan-audited r6); the window pays ONE exchange on
-    # shingle, and persisting the capped table lets both join sides scan
-    # the cache with the shingle partitioning preserved (same lesson as
-    # _cap_buckets / CLAUDE.md window-cap note). Semantics identical:
-    # count-per-shingle > max_shingle_docs rows dropped.
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("shingle")
-    filtered = track(
-        sh.withColumn("_df_cnt", F.count("*").over(w))
-        .where(F.col("_df_cnt") <= max_shingle_docs)
-        .drop("_df_cnt")
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    hot = (
+        sh.groupBy("shingle").agg(F.count("*").alias("df_cnt"))
+        .where(F.col("df_cnt") > max_shingle_docs)
+        .select("shingle")
     )
-    # eager materialization: the final plan consumes filtered from both
-    # self-join sides and sh from both size joins — un-materialized, the
-    # branches RACE to build the same cached partitions (kernel work runs
-    # up to twice; same lesson as the pipeline kernel cache, r6). One
-    # count builds shingles + window cap once; measured 5.7 -> 3.5 s cold
-    # on the minhash twin of this pattern.
-    filtered.count()
+    filtered = sh.join(hot, "shingle", "left_anti")
     a = filtered.alias("a")
     b = filtered.alias("b")
     inter = (
