@@ -239,10 +239,16 @@ def all_paths(
                 log_dropped, "all_paths",
             )
             if got is not None:
-                return spark.createDataFrame(
+                # Arrow-backed pandas createDataFrame (r6): the plain-list
+                # path runs python-worker conversion tasks exposed to
+                # multi-second worker stalls (see components.py)
+                import pandas as pd
+
+                pdf = pd.DataFrame(
                     [(list(path), len(path) - 1) for _, path in got],
-                    "path array<string>, depth int",
-                )
+                    columns=["path", "depth"])
+                return spark.createDataFrame(
+                    pdf, "path array<string>, depth int")
     frontier = spark.createDataFrame([(start_id, [start_id])], "node string, path array<string>")
     found = None
     for _ in range(max_depth):
@@ -313,10 +319,14 @@ def all_paths_multi(
                 log_dropped, "all_paths_multi",
             )
             if got is not None:
-                return spark.createDataFrame(
+                # Arrow-backed pandas createDataFrame (r6, see all_paths)
+                import pandas as pd
+
+                pdf = pd.DataFrame(
                     [(node, list(path), len(path) - 1) for node, path in got],
-                    "target string, path array<string>, depth int",
-                )
+                    columns=["target", "path", "depth"])
+                return spark.createDataFrame(
+                    pdf, "target string, path array<string>, depth int")
     frontier = spark.createDataFrame([(start_id, [start_id])], "node string, path array<string>")
     found = None
     for _ in range(max_depth):
