@@ -148,8 +148,10 @@ def pattern_relations(
         .distinct()
     )
     # consumed twice (head + tail joins): persist so the fuzzy-containment
-    # cartesian join runs once, not once per side
+    # cartesian join runs once, not once per side; eager count so the two
+    # join branches don't RACE to build the same cached partitions (r6)
     res = track(resolve_mentions(texts, entities, n_salts))
+    res.count()
     h = res.select(
         "conv_id",
         F.col("text").alias("head_text"),
@@ -205,6 +207,7 @@ def cooccurrence_relations(
         F.instr(F.col("sent"), F.col("name_norm")) > 0
     ).select("conv_id", "sent_idx", "name_norm", "entity_type", "entity_order")
     hits = track(hits)
+    hits.count()  # eager: the self-join's two sides otherwise race (r6)
     a = hits.alias("a")
     b = hits.alias("b")
     return (
