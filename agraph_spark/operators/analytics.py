@@ -111,7 +111,9 @@ def k_hop_neighbors(edges: DataFrame, start_id: str, k: int = 2, undirected: boo
             edges.select(F.col("tail_id").alias("src"), F.col("head_id").alias("dst"))
         )
     adj = adj.distinct()
-    frontier = spark.createDataFrame([(start_id, 0)], "entity_id string, hop int")
+    from ..session import local_df
+
+    frontier = local_df(spark, [(start_id, 0)], "entity_id string, hop int")
     visited = frontier
     for hop in range(1, k + 1):
         nxt = (

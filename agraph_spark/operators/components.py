@@ -108,15 +108,14 @@ def connected_components(
             T.StructField("entity_id", id_type),
             T.StructField("component", id_type),
         ])
-        # Arrow-backed pandas createDataFrame: the plain-list path runs
-        # python-worker conversion tasks exposed to multi-second worker
-        # stalls (r6 event-log audit); the Arrow path converts driver-side
-        # with zero python tasks
-        import pandas as pd
+        # Arrow-backed local frame (session.local_df): the plain-list path
+        # runs python-worker conversion tasks exposed to multi-second
+        # worker stalls (r6 event-log audit); local_df converts
+        # driver-side with zero python tasks and keeps even an EMPTY
+        # mapping on the LocalTableScan path (r6b)
+        from ..session import local_df
 
-        pdf = pd.DataFrame(list(touched.items()),
-                           columns=["entity_id", "component"])
-        mapping = spark.createDataFrame(pdf, schema)
+        mapping = local_df(spark, list(touched.items()), schema)
         return ids.join(mapping, "entity_id", "left").select(
             "entity_id", F.coalesce("component", "entity_id").alias("component"))
     # lineage-cut, not persisted: every round joins against sym, and a
@@ -271,16 +270,17 @@ def bfs_distances(
             if not nxt:
                 break
             frontier_ids = nxt
-        # Arrow-backed pandas createDataFrame (see connected_components)
-        import pandas as pd
+        # Arrow-backed local frame (see connected_components / session.local_df)
+        from ..session import local_df
 
-        pdf = pd.DataFrame(list(dist.items()), columns=["entity_id", "dist"])
-        return spark.createDataFrame(pdf, seed_schema)
+        return local_df(spark, list(dist.items()), seed_schema)
     # lineage-cut, not persisted: joined against once per depth, and an
     # RDD-leaf adjacency keeps every depth's analyzed plan shallow (see
     # connected_components / bounded_cycles)
     adj = cut(raw.distinct(), eager=False)
-    visited = spark.createDataFrame([(start_id, 0)], seed_schema)
+    from ..session import local_df
+
+    visited = local_df(spark, [(start_id, 0)], seed_schema)
     frontier = visited
     n_adj = adj.count()  # materializes the lazy cut; sizes the loop
     with loop_shuffle_partitions(spark, n_adj):
@@ -513,13 +513,11 @@ def bounded_cycles(
                     T.StructField("cycle_start", e.schema[0].dataType),
                     T.StructField("cycle_len", T.IntegerType()),
                 ])
-                # Arrow-backed pandas createDataFrame (see
-                # connected_components)
-                import pandas as pd
+                # Arrow-backed local frame (see connected_components /
+                # session.local_df)
+                from ..session import local_df
 
-                pdf = pd.DataFrame(sorted(got),
-                                   columns=["cycle_start", "cycle_len"])
-                return spark.createDataFrame(pdf, schema)
+                return local_df(spark, sorted(got), schema)
     frontier = e.where(F.col("b") > F.col("a")).select(
         F.col("a").alias("start"), F.col("b").alias("last"),
         F.array("a", "b").alias("nodes"),

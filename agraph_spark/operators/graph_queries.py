@@ -239,17 +239,18 @@ def all_paths(
                 log_dropped, "all_paths",
             )
             if got is not None:
-                # Arrow-backed pandas createDataFrame (r6): the plain-list
-                # path runs python-worker conversion tasks exposed to
-                # multi-second worker stalls (see components.py)
-                import pandas as pd
+                # Arrow-backed local frame (r6/r6b, session.local_df): the
+                # plain-list path runs python-worker conversion tasks
+                # exposed to multi-second worker stalls, and an empty
+                # pandas result silently falls back to the same path
+                from ..session import local_df
 
-                pdf = pd.DataFrame(
-                    [(list(path), len(path) - 1) for _, path in got],
-                    columns=["path", "depth"])
-                return spark.createDataFrame(
-                    pdf, "path array<string>, depth int")
-    frontier = spark.createDataFrame([(start_id, [start_id])], "node string, path array<string>")
+                return local_df(
+                    spark, [(list(path), len(path) - 1) for _, path in got],
+                    "path array<string>, depth int")
+    from ..session import local_df
+
+    frontier = local_df(spark, [(start_id, [start_id])], "node string, path array<string>")
     found = None
     for _ in range(max_depth):
         capped, n_live = _cap_frontier_pivot(
@@ -278,7 +279,9 @@ def all_paths(
             if st is None or (st["nh"] or 0) > 0 or st["nt"] == (st["nh"] or 0):
                 return found
         frontier = stepped.where(F.col("node") != end_id)
-    return found if found is not None else spark.createDataFrame([], "path array<string>, depth int")
+    if found is None:
+        return local_df(spark, [], "path array<string>, depth int")
+    return found
 
 
 def all_paths_multi(
@@ -319,15 +322,16 @@ def all_paths_multi(
                 log_dropped, "all_paths_multi",
             )
             if got is not None:
-                # Arrow-backed pandas createDataFrame (r6, see all_paths)
-                import pandas as pd
+                # Arrow-backed local frame (r6/r6b, see all_paths)
+                from ..session import local_df
 
-                pdf = pd.DataFrame(
+                return local_df(
+                    spark,
                     [(node, list(path), len(path) - 1) for node, path in got],
-                    columns=["target", "path", "depth"])
-                return spark.createDataFrame(
-                    pdf, "target string, path array<string>, depth int")
-    frontier = spark.createDataFrame([(start_id, [start_id])], "node string, path array<string>")
+                    "target string, path array<string>, depth int")
+    from ..session import local_df
+
+    frontier = local_df(spark, [(start_id, [start_id])], "node string, path array<string>")
     found = None
     for _ in range(max_depth):
         capped, n_live = _cap_frontier_pivot(
@@ -348,7 +352,7 @@ def all_paths_multi(
         found = hits if found is None else found.unionByName(hits)
         frontier = stepped
     if found is None:
-        return spark.createDataFrame([], "target string, path array<string>, depth int")
+        return local_df(spark, [], "target string, path array<string>, depth int")
     return found
 
 

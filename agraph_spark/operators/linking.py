@@ -180,6 +180,16 @@ def _driver_lsh_pairs(
     reimplemented and the two paths cannot drift."""
     from pyspark.sql import types as T
 
+    # hoist per-row fields out of the pair loops: Row attribute access and
+    # per-pair set(features.indices) construction dominated the banding on
+    # collision-heavy corpora (285k bucket pairs from 5000 random-hex names
+    # measured 5.4 s; precomputed, under 1 s — r6b)
+    from itertools import combinations
+
+    ids = [r.entity_id for r in rows]
+    types = [r.entity_type for r in rows]
+    names = [r.name_norm for r in rows]
+    idx_sets = [frozenset(r.features.indices) for r in rows]
     buckets: dict = {}
     for i, r in enumerate(rows):
         for t, hv in enumerate(r.hashes):
@@ -188,25 +198,19 @@ def _driver_lsh_pairs(
     for members in buckets.values():
         if len(members) < 2:
             continue
-        for x in range(len(members)):
-            for y in range(x + 1, len(members)):
-                i, j = members[x], members[y]
-                a, b = rows[i], rows[j]
-                if a.entity_type != b.entity_type:
-                    continue
-                if a.entity_id == b.entity_id:
-                    continue
-                key = (i, j) if a.entity_id < b.entity_id else (j, i)
-                cand.add(key)
+        for i, j in combinations(members, 2):
+            if types[i] != types[j] or ids[i] == ids[j]:
+                continue
+            cand.add((i, j) if ids[i] < ids[j] else (j, i))
     out = []
     for i, j in cand:
-        a, b = rows[i], rows[j]
-        ia, ib = set(a.features.indices), set(b.features.indices)
-        union = len(ia | ib)
-        dist = 1.0 - (len(ia & ib) / union) if union else 1.0
+        ia, ib = idx_sets[i], idx_sets[j]
+        inter = len(ia & ib)
+        union = len(ia) + len(ib) - inter
+        dist = 1.0 - (inter / union) if union else 1.0
         if dist < max_jaccard_distance:
-            out.append((a.entity_id, b.entity_id, a.name_norm, b.name_norm,
-                        a.entity_type, b.entity_type, dist))
+            out.append((ids[i], ids[j], names[i], names[j],
+                        types[i], types[j], dist))
     schema = T.StructType([
         T.StructField("id_a", id_type),
         T.StructField("id_b", id_type),
@@ -216,15 +220,15 @@ def _driver_lsh_pairs(
         T.StructField("type_b", T.StringType()),
         T.StructField("lsh_distance", T.DoubleType()),
     ])
-    # Arrow-backed createDataFrame (pandas input): the plain list path
+    # Arrow-backed local frame (session.local_df): the plain list path
     # parallelizes 32 pickled slices that every downstream consumer pays to
     # unpickle JVM-side — measured 6.6 s in a single CollectLimit task at
-    # bench scale; the Arrow path ships the driver-sized pair set as one
-    # columnar batch
-    pdf = pd.DataFrame(
-        out, columns=["id_a", "id_b", "name_a", "name_b",
-                      "type_a", "type_b", "lsh_distance"])
-    return spark.createDataFrame(pdf, schema).coalesce(1)
+    # bench scale; local_df also keeps the EMPTY-pair case on the
+    # LocalTableScan path (PySpark silently falls back to the pickled-RDD
+    # path for an empty pandas input — the q_d7_chain 11 s outlier, r6b)
+    from ..session import local_df
+
+    return local_df(spark, out, schema).coalesce(1)
 
 
 def name_similarity_col() -> F.Column:
@@ -344,17 +348,20 @@ def canonical_mapping(
             mapping = [(x, c) for x, c in touched.items() if x != c]
             # id type derived from the input (ADVICE r5: the string-only
             # schema broke non-string ids on this path only); Arrow-backed
-            # pandas createDataFrame: the plain-list path runs python-worker
-            # conversion tasks that are exposed to multi-second worker
-            # stalls (r6 event-log audit), the Arrow path converts
-            # driver-side with zero python tasks
+            # local frame (session.local_df): the plain-list path runs
+            # python-worker conversion tasks that are exposed to
+            # multi-second worker stalls (r6 event-log audit), the Arrow
+            # path converts driver-side with zero python tasks — and
+            # local_df keeps the EMPTY-mapping case off the pickled-RDD
+            # fallback too (r6b)
+            from ..session import local_df
+
             id_type = confirmed_pairs.schema["id_a"].dataType
             schema = T.StructType([
                 T.StructField("entity_id", id_type),
                 T.StructField("canonical_id", id_type),
             ])
-            pdf = pd.DataFrame(mapping, columns=["entity_id", "canonical_id"])
-            return spark.createDataFrame(pdf, schema).coalesce(1)
+            return local_df(spark, mapping, schema).coalesce(1)
     labels = connected_components(confirmed_pairs, src="id_a", dst="id_b")
     return labels.select(
         "entity_id", F.col("component").alias("canonical_id")

@@ -166,9 +166,12 @@ def search_graph_modes(
 
     def _linked_chunks(seed_entities: DataFrame, origin: str) -> DataFrame:
         if chunk_entity_links is None:
+            from ..session import local_df
+
             spark = nodes.sparkSession
-            return spark.createDataFrame(
-                [], "item_id string, namespace string, score double, origin string"
+            return local_df(
+                spark, [],
+                "item_id string, namespace string, score double, origin string"
             )
         return (
             chunk_entity_links.select("chunk_id", "entity_id")

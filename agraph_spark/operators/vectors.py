@@ -186,7 +186,9 @@ def ivf_topk(
     # matching the v_ann_ivf oracle's (distance, cid) ordering
     probes = [int(i) for i in np.argsort(dists, kind="stable")[:n_probe]]
     spark = assigned.sparkSession
-    qdf = spark.createDataFrame([(query_vec,)], f"query_vec array<double>")
+    from ..session import local_df
+
+    qdf = local_df(spark, [(query_vec,)], "query_vec array<double>")
     cand = assigned.where(F.col("centroid").isin(probes))
     scored = cand.crossJoin(F.broadcast(qdf)).withColumn(
         "score", cosine(F.col(vec_col).cast("array<double>"), F.col("query_vec"))

@@ -70,6 +70,43 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def local_df(spark: SparkSession, data, schema):
+    """Arrow-backed LOCAL DataFrame (``LocalTableScan``) for driver-computed
+    results — the adaptive-cutover mirrors, seed frontiers, broadcast query
+    vectors — of ANY size, including empty.
+
+    PySpark routes a NON-empty ``pandas.DataFrame`` through Arrow (driver
+    converts, JVM reads the batch: zero python tasks), but an EMPTY pandas
+    input and every plain-list input silently fall back to the pickled-RDD
+    path (``Scan ExistingRDD``), whose python conversion tasks are the
+    round-6 worker-stall surface: measured 3.8 s PER downstream action on
+    an empty 32-slice frame during a host-stall window (q_d7_chain's
+    zero-pair LSH leg paid it 2-3x = the 11 s sweep outlier). An empty
+    pyarrow Table takes the local-relation path (``LocalTableScan
+    <empty>``), which downstream scans fold away entirely.
+
+    ``data`` may be a pandas DataFrame or a list of tuples; ``schema`` a
+    StructType or DDL string.
+    """
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    if not isinstance(data, pd.DataFrame):
+        data = pd.DataFrame(data, columns=[f.name for f in schema.fields])
+    if len(data) == 0:
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(schema)
+        empty = pa.Table.from_arrays(
+            [pa.array([], type=f.type) for f in arrow_schema], schema=arrow_schema
+        )
+        return spark.createDataFrame(empty, schema)
+    return spark.createDataFrame(data, schema)
+
+
 def spread(df, min_partitions: int | None = None):
     """Guarantee enough input partitions before a CPU-heavy narrow stage.
 

@@ -124,3 +124,47 @@ def test_plan_shape_suite_detects_regressions(spark, entrymod):
     arrow = spark.createDataFrame(pd.DataFrame([("x", 1)],
                                                columns=["entity_id", "dist"]))
     assert "LocalTableScan" in plan_of(arrow)
+
+
+def test_empty_mirror_results_stay_on_local_table_scan(spark):
+    """session.local_df must keep EMPTY driver-mirror results on the
+    LocalTableScan path: PySpark silently routes an empty pandas input to
+    the pickled-RDD fallback (Scan ExistingRDD), whose python conversion
+    tasks re-expose the worker-stall class — measured 3.8 s PER downstream
+    action on q_d7_chain's zero-pair LSH leg (OPTIMIZATION_r06.md, round
+    6b)."""
+    from agraph_spark.session import local_df
+
+    empty = local_df(spark, [], "id_a string, lsh_distance double")
+    p = plan_of(empty)
+    assert "LocalTableScan" in p and "ExistingRDD" not in p
+    assert empty.count() == 0
+    # array-typed empties (the path-query mirrors) must convert too
+    empty_paths = local_df(spark, [], "path array<string>, depth int")
+    assert "LocalTableScan" in plan_of(empty_paths)
+    assert empty_paths.schema.simpleString() == "struct<path:array<string>,depth:int>"
+    # non-empty stays on the Arrow local path with values intact
+    one = local_df(spark, [(["a", "b"], 1)], "path array<string>, depth int")
+    assert "LocalTableScan" in plan_of(one)
+    assert one.collect()[0].path == ["a", "b"]
+
+
+def test_zero_pair_lsh_mirror_is_local_and_cheap(spark):
+    """The LSH driver cutover with ZERO surviving pairs (the d7_chain
+    corpus shape: mutually distant names) must produce an empty
+    LocalTableScan, not an empty python-conversion RDD."""
+    from agraph_spark.caching import release_caches
+    from agraph_spark.operators.linking import lsh_candidate_pairs
+
+    import hashlib
+
+    names = [hashlib.md5(str(i).encode()).hexdigest() for i in range(8)]
+    nodes = spark.createDataFrame(
+        [(f"e{i}", n, n, "t", 0.9) for i, n in enumerate(names)],
+        "entity_id string, name string, name_norm string, entity_type string,"
+        " confidence double")
+    out = lsh_candidate_pairs(nodes)
+    p = plan_of(out)
+    release_caches(spark)
+    assert out.count() == 0
+    assert "LocalTableScan" in p and "ExistingRDD" not in p
