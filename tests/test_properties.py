@@ -92,3 +92,30 @@ def test_spread_guard(spark):
     assert spread(one).rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
     many = spark.range(1000).repartition(spark.sparkContext.defaultParallelism + 2)
     assert spread(many) is many
+
+
+def test_cosine_hoisted_bitwise_equals_cosine(spark):
+    """cosine_hoisted (per-vector norms precomputed, r6c) must reproduce
+    cosine's doubles BITWISE on every pair, including zero-norm vectors —
+    the hoist only moves the sqrt(fold), it must not change its result."""
+    import random
+
+    from agraph_spark.operators import vectors as V
+
+    rng = random.Random(42)
+    vecs = [[rng.uniform(-1, 1) for _ in range(17)] for _ in range(40)]
+    vecs[3] = [0.0] * 17  # zero norm -> score 0.0 branch
+    vecs[7] = [0.0] * 17
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id int, v array<double>"
+    ).withColumn("nrm", V.norm(F.col("v")))
+    a, b = df.alias("a"), df.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        V.cosine(F.col("a.v"), F.col("b.v")).alias("s_old"),
+        V.cosine_hoisted(
+            F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")
+        ).alias("s_new"),
+    )
+    assert pairs.count() == 40 * 39 // 2
+    assert pairs.where(F.col("s_old") != F.col("s_new")).count() == 0
+    assert pairs.where(F.col("s_old").isNull() | F.col("s_new").isNull()).count() == 0
