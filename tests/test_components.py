@@ -354,3 +354,33 @@ def test_bfs_null_reachable_at_multiple_depths(spark):
         got = {r.entity_id: r.dist for r in rows}
         assert got == want, (thr, got)
         assert len(rows) == len(want), (thr, rows)  # no duplicate null rows
+
+
+def test_pagerank_fixed_point_driver_cutover_equals_distributed(spark):
+    """r6c: the fixed-point driver mirror must equal the distributed loop
+    on a fixture with parallel edges, dangling head/tail ids not in nodes,
+    an isolated node, a null tail, and NON-STRING ids (schema preserved)."""
+    from agraph_spark.operators.analytics import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (2, 1), (3, 1), (3, 1), (9, 1), (2, 77), (1, None)],
+        "head_id int, tail_id int")
+    nodes = spark.createDataFrame([(1,), (2,), (3,), (4,)], "entity_id int")
+    fast = pagerank(nodes, edges, iterations=10, fixed_point=True)
+    slow = pagerank(nodes, edges, iterations=10, fixed_point=True,
+                    small_graph_threshold=None)
+    f = {r.entity_id: r.rank for r in fast.collect()}
+    s = {r.entity_id: r.rank for r in slow.collect()}
+    assert f == s and len(f) == 4
+    assert f[4] == 150_000_000  # isolated node -> floor rank on both paths
+    # int ids preserved by the mirror (nullability may differ: the mirror's
+    # coalesce-with-literal is provably non-null)
+    assert [(x.name, x.dataType) for x in fast.schema] == \
+        [(x.name, x.dataType) for x in slow.schema]
+    # zero-iteration edge: both paths return the seed for every node
+    f0 = {r.entity_id: r.rank for r in
+          pagerank(nodes, edges, iterations=0, fixed_point=True).collect()}
+    s0 = {r.entity_id: r.rank for r in
+          pagerank(nodes, edges, iterations=0, fixed_point=True,
+                   small_graph_threshold=None).collect()}
+    assert f0 == s0 == {i: 1_000_000_000 for i in (1, 2, 3, 4)}
