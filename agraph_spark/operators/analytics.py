@@ -102,30 +102,20 @@ def top_central(nodes: DataFrame, edges: DataFrame, k: int = 5) -> DataFrame:
 
 
 def k_hop_neighbors(edges: DataFrame, start_id: str, k: int = 2, undirected: bool = True) -> DataFrame:
-    """A12: hop-labelled neighborhood of one node via k bounded expansion
-    joins with a visited anti-join (knowledge_retriever.py:611-665)."""
-    spark = edges.sparkSession
-    adj = edges.select(F.col("head_id").alias("src"), F.col("tail_id").alias("dst"))
-    if undirected:
-        adj = adj.unionByName(
-            edges.select(F.col("tail_id").alias("src"), F.col("head_id").alias("dst"))
-        )
-    adj = adj.distinct()
-    from ..session import local_df
+    """A12: hop-labelled neighborhood of one node
+    (knowledge_retriever.py:611-665). The hop label IS the BFS distance
+    (first depth each node is reached), so this delegates to
+    ``bfs_distances`` bounded to k — one machinery, one null semantics (a
+    null neighbor is reached ONCE, the ADVICE-r5 fix), and the adaptive
+    small-graph driver cutover for free. The previous standalone
+    expansion loop paid an eager localCheckpoint + adj distinct per hop
+    (2.9-3.6 s warm at bench scale vs ~1 s via the mirror, r6c)."""
+    from .components import bfs_distances
 
-    frontier = local_df(spark, [(start_id, 0)], "entity_id string, hop int")
-    visited = frontier
-    for hop in range(1, k + 1):
-        nxt = (
-            adj.join(frontier.withColumnRenamed("entity_id", "src").drop("hop"), "src")
-            .select(F.col("dst").alias("entity_id"))
-            .distinct()
-            .join(visited.select("entity_id"), "entity_id", "left_anti")
-            .withColumn("hop", F.lit(hop))
-        )
-        visited = visited.unionByName(nxt).localCheckpoint()
-        frontier = nxt
-    return visited.where(F.col("hop") > 0)
+    bfs = bfs_distances(edges, start_id, max_depth=k, undirected=undirected)
+    return bfs.where(F.col("dist") > 0).select(
+        "entity_id", F.col("dist").alias("hop")
+    )
 
 
 def _driver_pagerank_fixed(
@@ -188,7 +178,7 @@ def pagerank(
     damping: float = 0.85,
     checkpoint_dir: str | None = None,
     fixed_point: bool = False,
-    small_graph_threshold: int | None = 250_000,
+    small_graph_threshold: int | None = 100_000,
 ) -> DataFrame:
     """Fixed-iteration PageRank (unnormalized variant: seed 1.0,
     r' = (1-d) + d * sum_in(r/outdeg); parallel edges each carry mass).
@@ -201,7 +191,12 @@ def pagerank(
     driver mirror (``_driver_pagerank_fixed``) — the decision reuses the
     loop's own sizing count, and integer arithmetic makes the mirror
     bit-identical; the distributed loop is unchanged above the threshold
-    and is always used in float mode.
+    and is always used in float mode. The default threshold is TIGHTER
+    than the one-pass CC/BFS mirrors' 250k because the rank loop visits
+    every adjacency row ``iterations`` times: at ~170k rows x 10 iters
+    (sf1) the mirror measured a wash against the loop (4.7-6.0 vs
+    5.3-5.4 s), while at 17k rows it wins 2.4x — 100k keeps the cutover
+    on the winning side and sf1 on the verified distributed path.
 
     ``fixed_point=True`` runs the whole iteration in integer
     parts-per-billion (floor division per edge, exact BIGINT sums, damping

@@ -384,3 +384,35 @@ def test_pagerank_fixed_point_driver_cutover_equals_distributed(spark):
           pagerank(nodes, edges, iterations=0, fixed_point=True,
                    small_graph_threshold=None).collect()}
     assert f0 == s0 == {i: 1_000_000_000 for i in (1, 2, 3, 4)}
+
+
+def test_k_hop_delegates_to_bfs_and_matches_reference_walk(spark):
+    """r6c: k_hop_neighbors == a hand-rolled hop-labelled walk (first
+    depth wins, undirected, start excluded), on both execution paths."""
+    from agraph_spark.operators.analytics import k_hop_neighbors
+
+    rows = [("s", "a"), ("a", "b"), ("b", "c"), ("b", "a"), ("x", "y")]
+    edges = spark.createDataFrame(rows, "head_id string, tail_id string")
+    expect = {}
+    frontier, seen = {"s"}, {"s"}
+    nbrs: dict = {}
+    for h, t in rows:
+        nbrs.setdefault(h, set()).add(t)
+        nbrs.setdefault(t, set()).add(h)
+    for hop in (1, 2):
+        nxt = {v for u in frontier for v in nbrs.get(u, ()) if v not in seen}
+        expect.update({v: hop for v in nxt})
+        seen |= nxt
+        frontier = nxt
+    got = {r.entity_id: r.hop for r in k_hop_neighbors(edges, "s", k=2).collect()}
+    # c stays outside the k=2 bound; x/y are in another component
+    assert got == expect == {"a": 1, "b": 2}
+    # distributed path (threshold forced off via a large graph is covered by
+    # the bfs forced-path tests; here force it through the bfs kwarg default
+    # by comparing against bfs_distances directly)
+    from agraph_spark.operators.components import bfs_distances
+
+    bfs = {r.entity_id: r.dist for r in
+           bfs_distances(edges, "s", max_depth=2,
+                         small_graph_threshold=None).collect()}
+    assert {k: v for k, v in bfs.items() if v > 0} == got
