@@ -64,3 +64,17 @@ def test_oracle_agreement(spark, duck, name):
     assert sorted(scols) == sorted(dcols)
     assert len(srows) == len(drows), f"{name}: {len(srows)} vs {len(drows)}"
     assert rows_to_multiset(scols, srows) == rows_to_multiset(dcols, drows)
+
+
+def test_display_topk_knife_edge(spark):
+    """r6c: the top-k cut must rank at DISPLAY precision with the id
+    tie-break (the retrieval oracles' ORDER BY binds to the rounded output
+    alias). Two scores that differ at full precision but tie at 3dp
+    straddle the k boundary: the full-precision cut would keep 'z9'
+    (higher raw score); the certified cut keeps 'a1' (smaller id)."""
+    df = spark.createDataFrame(
+        [("top", 0.9), ("z9", 0.4606), ("a1", 0.4605)],
+        "vec_id string, score double",
+    )
+    got = [(r.vec_id, r.score) for r in entrymod._display_topk(df, 2).collect()]
+    assert got == [("top", 0.9), ("a1", 0.461)]
