@@ -33,6 +33,7 @@ from agraph_spark.operators.extraction import (
     keyword_counts,
 )
 from agraph_spark.operators.relations import split_sentences
+from agraph_spark.session import local_df as _local_df
 from agraph_spark.pipeline import build_triples_from_texts
 from agraph_spark.tpch_graph import GRAPH_SQL_CTE, build_graph
 
@@ -321,7 +322,7 @@ _COOCCUR_ENTS = ["table", "query", "join", "index", "column", "spark"]
 def q_kg_cooccur(spark, sf_dir):
     d = _docs(spark, sf_dir)
     sents = split_sentences(d)
-    ents = spark.createDataFrame([(e,) for e in _COOCCUR_ENTS], "ent string")
+    ents = _local_df(spark, [(e,) for e in _COOCCUR_ENTS], "ent string")
     hits = sents.crossJoin(F.broadcast(ents)).where(
         F.instr(F.col("sent"), F.col("ent")) > 0
     )
@@ -605,7 +606,7 @@ def q_kg_search_multi(spark, sf_dir):
         d.select(F.concat(F.lit("r"), "conv_id").alias("edge_id"),
                  F.substring("text", 20, 40).alias("render_text")))
     q = embed_hash_stub(
-        spark.createDataFrame([("table join query",)], "render_text string")
+        _local_df(spark, [("table join query",)], "render_text string")
     ).select(F.col("embedding").alias("query_vec"))
     out = search_knowledge(nodes, edges, chunks, q, k=5, threshold=-1.0)
     return out.select("item_id", "namespace", F.round("score", 3).alias("score"))
@@ -628,7 +629,7 @@ def q_kg_search_multi_md5(spark, sf_dir):
         d.select(F.concat(F.lit("r"), "conv_id").alias("edge_id"),
                  F.substring("text", 20, 40).alias("render_text")))
     q = embed_md5_stub(
-        spark.createDataFrame([("table join query",)], "render_text string")
+        _local_df(spark, [("table join query",)], "render_text string")
     ).select(F.col("embedding").alias("query_vec"))
     out = search_knowledge(nodes, edges, chunks, q, k=5, threshold=-1.0)
     return out.select("item_id", "namespace", F.round("score", 3).alias("score"))
@@ -658,7 +659,7 @@ def q_v11_search_modes(spark, sf_dir):
         F.col("conv_id").alias("chunk_id"),
         F.concat(F.lit("e"), ((F.col("doc_id") * 3) % 100).cast("string")).alias("entity_id"))
     q = embed_md5_stub(
-        spark.createDataFrame([("table join query",)], "render_text string")
+        _local_df(spark, [("table join query",)], "render_text string")
     ).select(F.col("embedding").alias("query_vec"))
     out = search_graph_modes(nodes, edges, chunks, q, mode="hybrid", k=5,
                              chunk_entity_links=links, threshold=-1.0)
@@ -802,7 +803,7 @@ def q_g_low_confidence(spark, sf_dir):
 
 def q_g_empty_names(spark, sf_dir):
     nodes, _ = _g(spark, sf_dir)
-    bad = spark.createDataFrame(
+    bad = _local_df(spark,
         [("X1", "  ", "blank", 0.5)],
         "entity_id string, name string, entity_type string, confidence double",
     )
@@ -923,7 +924,7 @@ def q_g3_links(spark, sf_dir):
     d = _docs(spark, sf_dir)
     chunks = d.select(F.col("conv_id").alias("chunk_id"), "conv_id",
                       F.col("text").alias("content"))
-    names = spark.createDataFrame([(w,) for w in _G3_NAMES], "name_norm string")
+    names = _local_df(spark, [(w,) for w in _G3_NAMES], "name_norm string")
     ents = d.select("conv_id").crossJoin(F.broadcast(names))
     return link_chunks_to_entities(chunks, ents)
 
@@ -938,10 +939,10 @@ def q_g3_rel_links(spark, sf_dir):
     d = _docs(spark, sf_dir)
     chunks = d.select(F.col("conv_id").alias("chunk_id"), "conv_id",
                       F.col("text").alias("content"))
-    names = spark.createDataFrame([(w,) for w in _G3_NAMES], "name_norm string")
+    names = _local_df(spark, [(w,) for w in _G3_NAMES], "name_norm string")
     ents = d.select("conv_id").crossJoin(F.broadcast(names))
     links = link_chunks_to_entities(chunks, ents)
-    trips = spark.createDataFrame(
+    trips = _local_df(spark,
         [("g", "spark", "uses", "table"), ("g", "graph", "links", "entity")],
         "conv_id string, subj string, pred string, obj string")
     return link_chunks_to_relations(links, trips)
@@ -1007,7 +1008,7 @@ def q_v10_chat_ctx(spark, sf_dir):
         d.select(F.concat(F.lit("r"), "conv_id").alias("edge_id"),
                  F.substring("text", 20, 40).alias("render_text")))
     q = embed_hash_stub(
-        spark.createDataFrame([("table join query",)], "render_text string")
+        _local_df(spark, [("table join query",)], "render_text string")
     ).select(F.col("embedding").alias("query_vec"))
     out = chat_context(nodes, edges, chunks, q, k_entities=5, k_relations=5,
                        k_chunks=5, threshold=-1.0)
@@ -1037,7 +1038,7 @@ def q_v10_chat_ctx_md5(spark, sf_dir):
         d.select(F.concat(F.lit("r"), "conv_id").alias("edge_id"),
                  F.substring("text", 20, 40).alias("render_text")))
     q = embed_md5_stub(
-        spark.createDataFrame([("table join query",)], "render_text string")
+        _local_df(spark, [("table join query",)], "render_text string")
     ).select(F.col("embedding").alias("query_vec"))
     hits = chat_context_hits(nodes, edges, chunks, q, k_entities=4,
                              k_relations=3, k_chunks=6, threshold=0.05)
@@ -1109,7 +1110,7 @@ def q_f6_stream_merge(spark, sf_dir):
         a[0] += 1
         a[1].add(r.conv_id)
         a[2].add(r.subj)
-    return spark.createDataFrame(
+    return _local_df(spark,
         sorted((p, n, len(cs), len(ss)) for p, (n, cs, ss) in agg.items()),
         "pred string, n_triples long, n_convs long, n_subjects long",
     )
@@ -1137,7 +1138,7 @@ def q_f6_stream_merge_md5(spark, sf_dir):
         )
 
     rows = _f6_run_stream(spark, _f6_turns(spark, sf_dir), triples_fn=toy_triples)
-    return spark.createDataFrame(
+    return _local_df(spark,
         [(r.conv_id, r.subj, r.pred, r.obj, r.conf) for r in rows],
         "conv_id string, subj string, pred string, obj string, conf double",
     ).select("conv_id", "subj", "pred", "obj", F.round("conf", 1).alias("conf"))
@@ -1215,7 +1216,7 @@ def q_s7_exports(spark, sf_dir):
     cyto = export_cytoscape(n50, e50)
     d3 = export_d3(n50, e50)
     md5 = lambda s: hashlib.md5(s.encode("utf-8")).hexdigest()
-    return spark.createDataFrame(
+    return _local_df(spark,
         [(md5(gml), len(gml), md5(cyto), len(cyto), md5(d3), len(d3))],
         "graphml_md5 string, graphml_len long, cyto_md5 string, "
         "cyto_len long, d3_md5 string, d3_len long",
@@ -1280,8 +1281,8 @@ def q_s5_store_roundtrip(spark, sf_dir):
         ).withColumn("n_nodes", F.lit(n_nodes).cast("long")).collect()
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(
-        out, "head_id string, tail_id string, pred string, confidence double, "
+    return _local_df(spark,
+        [tuple(r) for r in out], "head_id string, tail_id string, pred string, confidence double, "
              "source string, n_nodes long")
 
 
@@ -1298,7 +1299,7 @@ def q_mm_features(spark, sf_dir):
     for doc_id in range(40):
         pixels = bytes((doc_id * 7 + i * 13) % 256 for i in range(64))
         rows.append((f"m{doc_id}", bytearray(b"P5\n8 8\n255\n" + pixels)))
-    media = spark.createDataFrame(rows, "media_id string, content binary")
+    media = _local_df(spark, rows, "media_id string, content binary")
     feats = extract_media_features(media, out_dim=16)
     return feats.select(
         "media_id", "n_bytes",
@@ -1326,7 +1327,7 @@ def q_mm_png(spark, sf_dir):
         ).reshape(8, 8)
         blob = encode_png(pixels, filter_type=doc_id % 5)
         rows.append((f"m{doc_id}", bytearray(blob)))
-    media = spark.createDataFrame(rows, "media_id string, content binary")
+    media = _local_df(spark, rows, "media_id string, content binary")
     feats = extract_media_features(media, out_dim=16)
     return feats.select(
         "media_id", F.posexplode("feature").alias("dim", "v"),
@@ -1480,7 +1481,7 @@ def q_d3_alias(spark, sf_dir):
 
     nodes, _ = _g(spark, sf_dir)
     nodes = nodes.withColumn("name_norm", F.lower("name"))
-    alias_dict = spark.createDataFrame(
+    alias_dict = _local_df(spark,
         [("NATION_3", "Nation Three", "nation"),
          ("NATION_7", "Nation Seven", "nation"),
          ("NATION_12", "Nation Twelve", "nation"),

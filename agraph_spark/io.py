@@ -212,8 +212,10 @@ def import_graphml(spark: SparkSession, xml_text: str) -> tuple[DataFrame, DataF
             (ed.get("source"), ed.get("target"), data.get("d2", "related_to"),
              _graphml_float(data.get("d3", "0") or 0))
         )
-    ndf = spark.createDataFrame(nodes, "entity_id string, name string, entity_type string")
-    edf = spark.createDataFrame(edges, "head_id string, tail_id string, pred string, confidence double")
+    from .session import local_df
+
+    ndf = local_df(spark, nodes, "entity_id string, name string, entity_type string")
+    edf = local_df(spark, edges, "head_id string, tail_id string, pred string, confidence double")
     return ndf, edf
 
 
@@ -845,12 +847,16 @@ def import_lightrag_graphml(spark: SparkSession, xml_text: str) -> tuple[DataFra
             d.get("d7", ""), d.get("d8", ""), d.get("d9", ""),
             d.get("d10", ""), d.get("d11", ""),
         ))
-    ndf = spark.createDataFrame(
+    from .session import local_df
+
+    ndf = local_df(
+        spark,
         nodes,
         "entity_id string, name string, entity_type string, description string, "
         "source string, source_id string, file_path string, created_at string",
     )
-    edf = spark.createDataFrame(
+    edf = local_df(
+        spark,
         edges,
         "head_id string, tail_id string, pred string, confidence double, "
         "source string, description string, keywords string, source_id string, "

@@ -54,7 +54,12 @@ def catalog_from_dict(spark: SparkSession, schema: dict) -> DataFrame:
                  bool(c.get("nullable", True)), bool(c.get("primary_key", False)),
                  fk.get("table"), fk.get("column"))
             )
-    return spark.createDataFrame(rows, CATALOG_SCHEMA)
+    from ..session import local_df
+
+    # Arrow local frame: this catalog is consumed by every entity/relation
+    # branch below — the plain-list path re-ran 32 python conversion tasks
+    # per consuming action (the r6 worker-stall surface; r6c)
+    return local_df(spark, rows, CATALOG_SCHEMA)
 
 
 def clean_table_name(col: F.Column) -> F.Column:
@@ -101,7 +106,9 @@ def extract_db_entities(catalog: DataFrame) -> DataFrame:
             F.array(F.col("column_name")).alias("aliases"),
         )
     )
-    kw = catalog.sparkSession.createDataFrame(BUSINESS_CONCEPTS, "kw string, concept string")
+    from ..session import local_df
+
+    kw = local_df(catalog.sparkSession, BUSINESS_CONCEPTS, "kw string, concept string")
     concepts = (
         catalog.select(clean_table_name(F.col("table_name")).alias("clean")).distinct()
         .join(F.broadcast(kw), F.instr(F.col("clean"), F.col("kw")) > 0)

@@ -84,7 +84,9 @@ def hierarchical_inference(nodes: DataFrame) -> DataFrame:
         ("document", "keyword"),
     ]
     spark = nodes.sparkSession
-    hdf = spark.createDataFrame(hierarchy, "parent_type string, child_type string")
+    from ..session import local_df
+
+    hdf = local_df(spark, hierarchy, "parent_type string, child_type string")
     p = nodes.select(
         F.col("entity_id").alias("parent_id"),
         F.lower(F.col("name")).alias("parent_name"),
