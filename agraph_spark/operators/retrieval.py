@@ -14,14 +14,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .vectors import cosine
+from .vectors import cosine_hoisted, norm
 
 
 def _scored(df: DataFrame, query: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    return df.crossJoin(F.broadcast(query)).withColumn(
-        "score",
-        cosine(F.col(vec_col).cast("array<double>"), F.col("query_vec").cast("array<double>")),
-    ).drop("query_vec")
+    # r6c: norms hoisted out of the per-row expression (HOF folds run
+    # interpreted; cosine()'s when-guard evaluated each norm twice) —
+    # the query norm is computed once in the broadcast frame, the row
+    # norm once per row: 5 folds/row -> 2. Bitwise-identical scores
+    # (vectors.cosine_hoisted; pinned in test_properties).
+    q = query.withColumn("_nq", norm(F.col("query_vec").cast("array<double>")))
+    return (
+        df.withColumn("_na", norm(F.col(vec_col).cast("array<double>")))
+        .crossJoin(F.broadcast(q))
+        .withColumn(
+            "score",
+            cosine_hoisted(
+                F.col(vec_col).cast("array<double>"),
+                F.col("query_vec").cast("array<double>"),
+                F.col("_na"),
+                F.col("_nq"),
+            ),
+        )
+        .drop("query_vec", "_na", "_nq")
+    )
 
 
 def search_namespace(

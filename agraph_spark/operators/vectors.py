@@ -50,11 +50,26 @@ def cosine_scores(
     query_col: str = "query_vec",
 ) -> DataFrame:
     """Score every row against a single query vector (1-row DataFrame,
-    broadcast by Catalyst). V4 minus the top-k cut."""
-    q = F.broadcast(query)
-    return embeddings.crossJoin(q).withColumn(
-        "score", cosine(F.col(vec_col).cast("array<double>"), F.col(query_col).cast("array<double>"))
-    ).drop(query_col)
+    broadcast by Catalyst). V4 minus the top-k cut. r6c: norms hoisted
+    (see cosine_hoisted) — query norm once in the broadcast frame, row
+    norm once per row; scores bitwise-identical to the inline cosine."""
+    q = F.broadcast(
+        query.withColumn("_nq", norm(F.col(query_col).cast("array<double>")))
+    )
+    return (
+        embeddings.withColumn("_na", norm(F.col(vec_col).cast("array<double>")))
+        .crossJoin(q)
+        .withColumn(
+            "score",
+            cosine_hoisted(
+                F.col(vec_col).cast("array<double>"),
+                F.col(query_col).cast("array<double>"),
+                F.col("_na"),
+                F.col("_nq"),
+            ),
+        )
+        .drop(query_col, "_na", "_nq")
+    )
 
 
 def topk_similar(
